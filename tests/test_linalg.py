@@ -1,0 +1,69 @@
+"""Masked padded Gaussian density vs direct NumPy computation."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from gprf_tpu.linalg.jitchol import jitchol
+from gprf_tpu.linalg.masked import masked_gaussian_ll, pad_kernel_matrix
+
+from reference_impl import LOG_2PI
+
+
+def _dense_ll(K, Y):
+    n = K.shape[0]
+    dy = Y.shape[1]
+    Kinv = np.linalg.inv(K)
+    _, logdet = np.linalg.slogdet(K)
+    return -0.5 * np.sum(Y * (Kinv @ Y)) - 0.5 * dy * logdet - 0.5 * dy * n * LOG_2PI
+
+
+def _rand_spd(rng, n):
+    A = rng.normal(size=(n, n))
+    return A @ A.T + n * np.eye(n)
+
+
+def test_masked_ll_matches_dense(rng):
+    n, pad, dy = 11, 16, 3
+    K = _rand_spd(rng, pad)
+    Y = rng.normal(size=(pad, dy))
+    mask = np.zeros(pad, dtype=bool)
+    mask[:n] = True
+    # garbage in the padded region must not affect the result
+    ll = float(masked_gaussian_ll(jnp.asarray(K), jnp.asarray(Y), jnp.asarray(mask)))
+    expect = _dense_ll(K[:n, :n], Y[:n])
+    assert np.isclose(ll, expect, rtol=1e-10)
+
+
+def test_masked_ll_scattered_mask(rng):
+    pad, dy = 12, 2
+    K = _rand_spd(rng, pad)
+    Y = rng.normal(size=(pad, dy))
+    mask = np.array([True, False, True, True, False, True, False, True, True, False, True, False])
+    idx = np.where(mask)[0]
+    ll = float(masked_gaussian_ll(jnp.asarray(K), jnp.asarray(Y), jnp.asarray(mask)))
+    expect = _dense_ll(K[np.ix_(idx, idx)], Y[idx])
+    assert np.isclose(ll, expect, rtol=1e-10)
+
+
+def test_pad_kernel_matrix_identity_block(rng):
+    K = _rand_spd(rng, 6)
+    mask = np.array([True, True, True, False, False, False])
+    Kp = np.asarray(pad_kernel_matrix(jnp.asarray(K), jnp.asarray(mask)))
+    np.testing.assert_allclose(Kp[3:, 3:], np.eye(3), atol=0)
+    np.testing.assert_allclose(Kp[:3, 3:], 0.0, atol=0)
+    np.testing.assert_allclose(Kp[:3, :3], K[:3, :3])
+
+
+def test_jitchol_recovers_spd(rng):
+    K = _rand_spd(rng, 8)
+    L = jitchol(K)
+    np.testing.assert_allclose(L @ L.T, K, rtol=1e-10)
+
+
+def test_jitchol_adds_jitter_on_near_singular():
+    # rank-deficient PSD matrix: plain cholesky fails, jitter rescues
+    v = np.ones((5, 1))
+    K = v @ v.T
+    L = jitchol(K)
+    assert np.all(np.isfinite(L))
+    np.testing.assert_allclose(L @ L.T, K, atol=1e-3)
