@@ -1,0 +1,141 @@
+"""Results protocol: per-step metrics recomputed from checkpoints.
+
+Writer/reader for the reference ``results.txt`` format so downstream
+analysis tooling ports unchanged: 12 fixed columns
+(``gprfopt_analyze.py:20-22``) — step, time, mll, dlscale, mad, xprior,
+smse_local, smse, msll_local_block, msll_block, msll_local_diag, msll_diag —
+plus a final ``trueX`` oracle row with the objective evaluated at the true
+latents (``gprfopt.py:490-515``), which doubles as the end-to-end
+correctness oracle: the optimized objective should approach the true-X
+objective.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from gprf_tpu.optim.driver import load_log
+from gprf_tpu.utils.io import step_cov_path, step_x_path
+
+RESULT_COLS = {
+    "step": 0,
+    "time": 1,
+    "mll": 2,
+    "dlscale": 3,
+    "mad": 4,
+    "xprior": 5,
+    "smse_local": 6,
+    "smse": 7,
+    "msll_local_block": 8,
+    "msll_block": 9,
+    "msll_local_diag": 10,
+    "msll_diag": 11,
+}
+
+
+def analyze_run(d, sdata, local_dist=1.0, predict=False):
+    """Recompute metrics for every checkpointed step and write results.txt
+    (reference ``analyze_run``, ``gprfopt.py:453-516``)."""
+    steps, times, lls = load_log(d)
+    rfname = os.path.join(d, "results.txt")
+    results = open(rfname, "w")
+
+    def row_metrics(X, FC, predict_flag):
+        l1 = sdata.mean_distance(X.flatten())
+        c1 = sdata.lscale_error(FC) if FC is not None else 0.0
+        l2 = sdata.x_prior(X.flatten())[0]
+        if predict_flag:
+            smse_local, msll_local_block, msll_local_diag = sdata.prediction_error(
+                X=X, cov=FC, local_dist=1.0
+            )
+            if local_dist < 1.0:
+                smse, msll_block, msll_diag = sdata.prediction_error(
+                    X=X, cov=FC, local_dist=local_dist
+                )
+            else:
+                smse, msll_block, msll_diag = smse_local, msll_local_block, msll_local_diag
+        else:
+            smse = smse_local = msll_local_block = msll_block = msll_local_diag = msll_diag = 0.0
+        return c1, l1, l2, smse_local, smse, msll_local_block, msll_block, msll_local_diag, msll_diag
+
+    for i, step in enumerate(steps):
+        try:
+            X = np.load(step_x_path(d, step))
+        except (IOError, OSError):
+            X = sdata.SX
+        try:
+            FC = np.load(step_cov_path(d, step))
+        except (IOError, OSError):
+            FC = None
+        c1, l1, l2, smse_local, smse, mlb, mb, mld, md = row_metrics(X, FC, predict)
+        s = "%d %.2f %.2f %.8f %.8f %.8f %.4f %.4f %.4f %.4f %.4f %.4f" % (
+            step, times[i], lls[i], c1, l1, l2, smse_local, smse, mlb, mb, mld, md,
+        )
+        results.write(s + "\n")
+
+    # oracle row: objective at the true latents
+    X = sdata.SX
+    c1, l1, l2, smse_local, smse, mlb, mb, mld, md = row_metrics(
+        X, None, predict
+    )
+    results.flush()
+    gprf = sdata.build_gprf(X=X, local_dist=local_dist)
+    ll1 = -np.inf
+    try:
+        if gprf.n_blocks > 1:
+            ll1 = gprf.llgrad()[0]
+    except Exception:
+        pass
+    s = "trueX inf %.2f %.4f %.4f %.4f %.4f %.4f %.4f %.4f %.4f %.4f" % (
+        ll1, c1, l1, l2, smse_local, smse, mlb, mb, mld, md,
+    )
+    results.write(s + "\n")
+    results.close()
+    return rfname
+
+
+def load_results(d):
+    r = os.path.join(d, "results.txt")
+    results = []
+    with open(r, "r") as rf:
+        for line in rf:
+            try:
+                results.append([float(x) for x in line.split(" ")])
+            except ValueError:
+                continue
+    return np.asarray(results)
+
+
+def read_result_line(s):
+    r = {}
+    parts = s.split(" ")
+    for lbl, col in RESULT_COLS.items():
+        p = parts[col]
+        if p == "trueX":
+            continue
+        try:
+            r[lbl] = int(p)
+        except ValueError:
+            r[lbl] = float(p)
+    return r
+
+
+def load_final_results(d):
+    """(final_row, trueX_row) dicts from a finished run
+    (reference ``gprfopt_analyze.py:56-62``)."""
+    with open(os.path.join(d, "results.txt"), "r") as rf:
+        lines = rf.readlines()
+    return read_result_line(lines[-2]), read_result_line(lines[-1])
+
+
+def max_history(values):
+    """Best-so-far envelope (the notebook's ``max_history``,
+    ``gprf_camera_plot.ipynb`` cell 1)."""
+    out = []
+    best = -np.inf
+    for v in values:
+        best = max(best, v)
+        out.append(best)
+    return np.asarray(out)

@@ -1,0 +1,228 @@
+"""Synthetic experiment CLI.
+
+Flag-for-flag rebuild of the reference ``gprfopt.py`` argparse driver
+(``gprfopt.py:605-637``), experiment-dir naming (``build_run_name``,
+``gprfopt.py:588-603`` — the directory name encodes the config and doubles
+as the cache key), and ``do_run`` orchestration (``gprfopt.py:525-584``).
+The GPy GPLVM baselines (``--gplvm_type sparse|bayesian|basic``) are served
+by the native JAX sparse-GPLVM baseline in
+:mod:`gprf_tpu.model.sgplvm` instead of GPy.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+from gprf_tpu.analysis.results import analyze_run
+from gprf_tpu.data.sampled import exp_base_dir, sample_data
+from gprf_tpu.optim.driver import do_optimization
+from gprf_tpu.partition.grid import grid_centers
+from gprf_tpu.utils.io import mkdir_p
+
+
+def do_run(
+    d,
+    lscale,
+    n,
+    ntrain,
+    nblocks,
+    yd,
+    seed=0,
+    method="l-bfgs-b",
+    obs_std=None,
+    local_dist=1.0,
+    maxsec=3600,
+    task="x",
+    analyze_only=False,
+    analyze_full=False,
+    init_seed=-1,
+    parallel=False,
+    noise_var=0.01,
+    rpc_blocksize=-1,
+    gplvm_type="gprf",
+    num_inducing=-1,
+    init_true=False,
+):
+    if rpc_blocksize == -1:
+        centers = grid_centers(nblocks)
+        print("gprf with %d blocks" % len(centers))
+    else:
+        centers = None
+        print("gprf with rpc blocksize %d" % rpc_blocksize)
+
+    if obs_std is None:
+        obs_std = lscale / 10
+
+    data = sample_data(
+        n=n,
+        ntrain=ntrain,
+        lscale=lscale,
+        obs_std=obs_std,
+        yd=yd,
+        seed=seed,
+        centers=centers,
+        noise_var=noise_var,
+        rpc_blocksize=rpc_blocksize,
+    )
+    gprf = data.build_gprf(local_dist=local_dist)
+
+    # task dispatch (reference gprfopt.py:548-574)
+    if task == "x":
+        if init_true:
+            X0 = data.SX
+            gprf.update_X(X0)
+        else:
+            X0 = data.X_obs
+        C0 = None
+    elif task == "cov":
+        X0 = None
+        gprf.update_X(data.SX)
+        if init_seed >= 0:
+            np.random.seed(init_seed)
+            C0 = np.exp(np.random.randn(1, 4) - 1)
+        else:
+            C0 = np.array((0.01, 1.0, 0.05, 0.05)).reshape(1, -1)
+    elif task == "xcov":
+        X0 = data.X_obs
+        if init_seed >= 0:
+            np.random.seed(init_seed)
+            C0 = np.exp(np.random.randn(1, 1) - 1)
+            X0 = X0 + np.random.randn(*X0.shape) * 0.005
+        else:
+            lscale0 = float(np.asarray(gprf.cov.dfn_params)[0])
+            C0 = np.array((lscale0,)).reshape(1, 1)
+    else:
+        raise ValueError("unrecognized task " + task)
+
+    if not analyze_only:
+        if gplvm_type != "gprf":
+            from gprf_tpu.model.sgplvm import do_sgplvm
+
+            do_sgplvm(
+                d,
+                X0,
+                C0,
+                data,
+                method=method,
+                maxsec=maxsec,
+                gplvm_type=gplvm_type,
+                num_inducing=num_inducing,
+            )
+        else:
+            do_optimization(
+                d, gprf, X0, C0, data, method=method, maxsec=maxsec, parallel=parallel
+            )
+
+    analyze_run(d, data, local_dist=local_dist, predict=analyze_full)
+
+
+def build_run_name(args):
+    """Self-describing experiment dir name (reference ``gprfopt.py:588-597``)."""
+    try:
+        vals = (
+            args.ntrain, args.ntest, args.nblocks, args.lscale, args.obs_std,
+            args.local_dist, args.yd, args.method, args.task, args.init_seed,
+            args.noise_var, args.rpc_blocksize, args.seed, args.gplvm_type,
+            args.num_inducing, args.init_true,
+        )
+    except AttributeError:
+        defaults = {
+            "yd": 50, "seed": 0, "local_dist": 0.05, "method": "l-bfgs-b",
+            "task": "x", "init_seed": -1, "noise_var": 0.01, "rpc_blocksize": -1,
+            "gplvm_type": "gprf", "num_inducing": -1, "init_true": False,
+        }
+        defaults.update(args)
+        a = defaults
+        vals = (
+            a["ntrain"], a["ntest"], a["nblocks"], a["lscale"], a["obs_std"],
+            a["local_dist"], a["yd"], a["method"], a["task"], a["init_seed"],
+            a["noise_var"], a["rpc_blocksize"], a["seed"], a["gplvm_type"],
+            a["num_inducing"], a["init_true"],
+        )
+    (ntrain, ntest, nblocks, lscale, obs_std, local_dist, yd, method, task,
+     init_seed, noise_var, rpc_blocksize, seed, gplvm_type, num_inducing,
+     init_true) = vals
+    return "%d_%d_%s_%.6f_%.6f_%.4f_%d_%s_%s_%d_%s_s%s_%s%d" % (
+        ntrain,
+        ntrain + ntest,
+        "%d" % nblocks if rpc_blocksize == -1 else "%06d" % rpc_blocksize,
+        lscale,
+        obs_std,
+        local_dist,
+        yd,
+        method,
+        task,
+        -9999 if init_true else init_seed,
+        "%.4f" % noise_var,
+        "%d" % seed,
+        gplvm_type,
+        num_inducing,
+    )
+
+
+def exp_dir(args):
+    d = os.path.join(exp_base_dir(), build_run_name(args))
+    mkdir_p(d)
+    return d
+
+
+def build_parser():
+    parser = argparse.ArgumentParser(description="gprf_opt")
+    parser.add_argument("--ntrain", dest="ntrain", type=int, help="number of points to locate")
+    parser.add_argument("--ntest", dest="ntest", type=int, default=500, help="sample additional test points to evaluate predictive accuracy")
+    parser.add_argument("--nblocks", dest="nblocks", default=1, type=int, help="divide sampled points into a grid of this many blocks (mutually exclusive with rpc_blocksize)")
+    parser.add_argument("--rpc_blocksize", dest="rpc_blocksize", default=-1, type=int, help="recursive projection clustering with this target blocksize (mutually exclusive with nblocks)")
+    parser.add_argument("--lscale", dest="lscale", type=float, help="SE kernel lengthscale for the sampled functions")
+    parser.add_argument("--obs_std", dest="obs_std", type=float, default=None, help="std of Gaussian noise corrupting the X locations")
+    parser.add_argument("--local_dist", dest="local_dist", default=1.0, type=float, help="minimum kernel value to connect blocks in a GPRF (1.0 = local GPs)")
+    parser.add_argument("--method", dest="method", default="l-bfgs-b", type=str, help="scipy.optimize method")
+    parser.add_argument("--seed", dest="seed", default=0, type=int, help="seed for generating synthetic data")
+    parser.add_argument("--yd", dest="yd", default=50, type=int, help="number of output dimensions to sample")
+    parser.add_argument("--maxsec", dest="maxsec", default=3600, type=int, help="maximum seconds to run the optimization")
+    parser.add_argument("--task", dest="task", default="x", type=str, help="'x', 'cov', or 'xcov'")
+    parser.add_argument("--analyze", dest="analyze", default=False, action="store_true", help="only analyze existing saved results")
+    parser.add_argument("--analyze_full", dest="analyze_full", default=False, action="store_true", help="fuller analysis incl. predictive accuracy")
+    parser.add_argument("--parallel", dest="parallel", default=False, action="store_true", help="accepted for reference parity; the TPU path always batches blocks")
+    parser.add_argument("--init_seed", dest="init_seed", default=-1, type=int, help="if >=0, randomized init from this seed")
+    parser.add_argument("--init_true", dest="init_true", default=False, action="store_true", help="initialize at true X locations")
+    parser.add_argument("--noise_var", dest="noise_var", default=0.01, type=float, help="variance of iid noise in synthetic Y")
+    parser.add_argument("--gplvm_type", dest="gplvm_type", default="gprf", type=str, help="'gprf', or 'sparse'/'bayesian'/'basic' for the inducing-point GPLVM baseline")
+    parser.add_argument("--num_inducing", dest="num_inducing", default=0, type=int, help="number of inducing points for sparse baselines")
+    return parser
+
+
+def main(argv=None):
+    mkdir_p(exp_base_dir())
+    args = build_parser().parse_args(argv)
+    d = exp_dir(args)
+    print("experiment dir:", d)
+    do_run(
+        d=d,
+        lscale=args.lscale,
+        obs_std=args.obs_std,
+        local_dist=args.local_dist,
+        n=args.ntrain + args.ntest,
+        ntrain=args.ntrain,
+        nblocks=args.nblocks,
+        yd=args.yd,
+        method=args.method,
+        rpc_blocksize=args.rpc_blocksize,
+        seed=args.seed,
+        maxsec=args.maxsec,
+        analyze_only=args.analyze,
+        analyze_full=args.analyze_full,
+        task=args.task,
+        init_seed=args.init_seed,
+        noise_var=args.noise_var,
+        parallel=args.parallel,
+        gplvm_type=args.gplvm_type,
+        num_inducing=args.num_inducing,
+        init_true=args.init_true,
+    )
+
+
+if __name__ == "__main__":
+    main()

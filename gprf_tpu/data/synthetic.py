@@ -1,0 +1,151 @@
+"""Synthetic GP-LVM data generation.
+
+Rebuild of the reference ``synthetic.py``: latent locations X are sampled
+uniformly or from structured "crazy shapes" selected by seed ranges
+(``synthetic.py:91-100``: <1000 uniform, 1000-1099 fault, 1100-1199 X,
+1200-1299 diamond, 1300-1349 crazy-lines, 1350-1399 tight crazy-lines), and
+outputs Y are drawn from the GP prior.
+
+Prior sampling strategy: the reference uses a dense ``jitchol`` below 40k
+points and CHOLMOD sparse factorization above (``synthetic.py:103-137``).
+Here the dense path runs as one device Cholesky (f64 on CPU hosts, f32 on
+TPU with jitter), and the large-n path uses the native sparse factorization
+in :mod:`gprf_tpu.sparse` (kd-tree range query + C++ sparse Cholesky).
+RNG: seeding matches the reference's ``np.random.seed(seed)`` global-state
+convention so seeds map to the same shape families.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from gprf_tpu.kernels.gpcov import GPCov
+from gprf_tpu.linalg.jitchol import jitchol
+
+DENSE_SAMPLING_LIMIT = 40000  # reference threshold at synthetic.py:106
+
+
+def sample_points_line(n, x1, x2, std=0.005):
+    x1 = np.asarray(x1, dtype=float)
+    x2 = np.asarray(x2, dtype=float)
+    v = x2 - x1
+    rs = np.random.rand(int(n))
+    pts = x1[None, :] + rs[:, None] * v[None, :]
+    return pts + np.random.randn(*pts.shape) * std
+
+
+def sample_crazy_shape(seed, n, std=0.005):
+    """Structured latent point clouds selected by seed range
+    (``synthetic.py:4-100``)."""
+    np.random.seed(seed)
+    if seed % 1000 > 4:
+        std = 0.27386127875258309 / np.sqrt(n)
+
+    def sample_X(n):
+        X1 = sample_points_line(n // 2, (0.1, 0.1), (0.9, 0.9))
+        X2 = sample_points_line(n - n // 2, (0.1, 0.9), (0.9, 0.1))
+        return np.vstack([X1, X2])
+
+    def sample_diamond(n):
+        q = n // 4
+        X1 = sample_points_line(q, (0.5, 0.9), (0.9, 0.5))
+        X2 = sample_points_line(q, (0.5, 0.9), (0.1, 0.5))
+        X3 = sample_points_line(q, (0.1, 0.5), (0.5, 0.1))
+        X4 = sample_points_line(n - 3 * q, (0.5, 0.1), (0.9, 0.5))
+        return np.vstack([X1, X2, X3, X4])
+
+    def sample_star(points=10, n=1000):
+        Xs = []
+        angles = (2 * np.pi) / points
+        for i in range(points):
+            x1 = np.array((0.5, 0.5))
+            theta = i * angles
+            v = np.array((np.cos(theta), np.sin(theta)))
+            v = 0.4 * v / np.linalg.norm(v)
+            Xs.append(sample_points_line(n // 4, x1, x1 + v))
+        return np.vstack(Xs)
+
+    def sample_crazy_lines(n, std=0.005):
+        seg_npts = 250
+        segments = max(n // seg_npts, 1)
+        segment_len = 41.10960958218894 / np.sqrt(n)  # length 1.3 at 1000 pts
+        Xs = []
+        remaining = n
+        for i in range(segments):
+            npts = seg_npts if i < segments - 1 else remaining
+            while True:
+                x1 = np.random.rand(2)
+                v = np.random.rand(2)
+                v /= np.linalg.norm(v)
+                x2 = x1 + v * segment_len
+                if 0 < x2[0] < 1 and 0 < x2[1] < 1:
+                    Xs.append(sample_points_line(npts, x1, x2, std=std))
+                    remaining -= npts
+                    break
+        return np.vstack(Xs)
+
+    def sample_fault(n, std=0.005):
+        sn = n // 10
+        pts = [
+            ((0.1, 0.1), (0.2, 0.2)),
+            ((0.2, 0.2), (0.2, 0.5)),
+            ((0.2, 0.2), (0.3, 0.3)),
+            ((0.3, 0.3), (0.5, 0.1)),
+            ((0.3, 0.3), (0.4, 0.45)),
+            ((0.4, 0.45), (0.2, 0.8)),
+            ((0.4, 0.45), (0.5, 0.6)),
+            ((0.5, 0.6), (0.9, 0.4)),
+            ((0.5, 0.6), (0.8, 0.9)),
+            ((0.9, 0.4), (0.8, 0.1)),
+        ]
+        Xs = [sample_points_line(sn, a, b, std=std) for a, b in pts[:-1]]
+        Xs.append(sample_points_line(n - 9 * sn, *pts[-1], std=std))
+        return np.vstack(Xs)
+
+    if seed < 1100:
+        return sample_fault(n=n)
+    elif seed < 1200:
+        return sample_X(n=n)
+    elif seed < 1300:
+        return sample_diamond(n=n)
+    elif seed < 1350:
+        return sample_crazy_lines(n=n, std=0.005)
+    elif seed < 1400:
+        return sample_crazy_lines(n=n, std=0.00005)
+    raise ValueError(f"seed {seed} outside crazy-shape ranges")
+
+
+def sample_y(X, cov: GPCov, noise_var, yd, sparse_lscales=4.0):
+    """Draw Y ~ N(0, K(X) + noise_var I), [n, yd].
+
+    Dense jitchol below :data:`DENSE_SAMPLING_LIMIT`; above it, sparse
+    factorization with support truncated at ``sparse_lscales`` scaled
+    lengthscales (reference ``synthetic.py:103-137``).
+    """
+    X = np.asarray(X, dtype=np.float64)
+    n = X.shape[0]
+    if n < DENSE_SAMPLING_LIMIT:
+        from gprf_tpu.kernels.covfn import kernel_matrix
+        import jax.numpy as jnp
+
+        KK = np.asarray(kernel_matrix(cov, jnp.asarray(X), noise_var=noise_var), dtype=np.float64)
+        L = jitchol(KK)
+        Z = np.random.randn(n, yd)
+        return L @ Z
+    from gprf_tpu.sparse import sample_y_sparse
+
+    return sample_y_sparse(X, cov, noise_var, yd, max_scaled_dist=sparse_lscales)
+
+
+def sample_synthetic(seed=1, n=400, xd=2, yd=10, lscale=0.1, noise_var=0.01):
+    """(X, Y, cov): latent locations + GP-prior outputs + the generating cov
+    (reference ``synthetic.py:139-153``)."""
+    if seed < 1000:
+        np.random.seed(seed)
+        X = np.random.rand(n, xd)
+    else:
+        X = sample_crazy_shape(seed, n)
+        assert X.shape[0] == n
+    cov = GPCov.create([1.0], [lscale] * xd, "euclidean", "se")
+    y = sample_y(X, cov, noise_var, yd)
+    return X, y, cov

@@ -85,8 +85,13 @@ def train_predictor(gprf, test_cov: GPCov | None = None, Y=None):
     sizes = gprf.layout.sizes
     neighbor_dict = symmetrize_neighbors(gprf.neighbors)
 
+    # query-time kernel evaluations are tiny and looped on host; evaluating
+    # them on device would pay one transport round-trip each (see
+    # gprf_tpu.kernels.hostnp)
+    from gprf_tpu.kernels.hostnp import cross_kernel_matrix_np
+
     def k_np(cov, X1, X2):
-        return np.asarray(cross_kernel_matrix(cov, jnp.asarray(X1), jnp.asarray(X2)))
+        return cross_kernel_matrix_np(cov, X1, X2)
 
     def predict(Xstar, test_noise_var: float = 0.0, local: bool = False):
         Xstar = np.asarray(Xstar)

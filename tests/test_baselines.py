@@ -1,0 +1,108 @@
+"""Full-GP and sparse-GPLVM baseline tests."""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from gprf_tpu.kernels.gpcov import GPCov
+from gprf_tpu.model.fullgp import GP, mcov, prior_sample
+from gprf_tpu.model.sgplvm import fitc_mll, full_gplvm_mll, titsias_bound
+
+from reference_impl import kernel_np, LOG_2PI
+
+
+def _mll_dense(X, Y, sv, ls, nv):
+    K = kernel_np(X, X, sv, ls) + nv * np.eye(len(X))
+    Kinv = np.linalg.inv(K)
+    _, logdet = np.linalg.slogdet(K)
+    dy = Y.shape[1]
+    return -0.5 * np.sum(Y * (Kinv @ Y)) - 0.5 * dy * logdet - 0.5 * dy * len(X) * LOG_2PI
+
+
+def test_fullgp_predict_matches_closed_form(rng):
+    X = rng.uniform(size=(20, 2))
+    y = rng.normal(size=(20, 1))
+    Xs = rng.uniform(size=(4, 2))
+    cov = GPCov.create([1.0], [0.3, 0.3])
+    gp = GP(X, y, cov, 0.05)
+    K = kernel_np(X, X, 1.0, np.array([0.3, 0.3])) + 0.05 * np.eye(20)
+    Ks = kernel_np(Xs, X, 1.0, np.array([0.3, 0.3]))
+    Kss = kernel_np(Xs, Xs, 1.0, np.array([0.3, 0.3]))
+    Kinv = np.linalg.inv(K)
+    np.testing.assert_allclose(gp.predict(Xs), (Ks @ Kinv @ y)[:, 0], rtol=1e-8)
+    np.testing.assert_allclose(
+        gp.covariance(Xs), Kss - Ks @ Kinv @ Ks.T, rtol=1e-6, atol=1e-10
+    )
+    np.testing.assert_allclose(
+        gp.covariance(Xs, include_obs=True),
+        Kss - Ks @ Kinv @ Ks.T + 0.05 * np.eye(4),
+        rtol=1e-6,
+        atol=1e-10,
+    )
+    assert np.isclose(gp.log_likelihood(), _mll_dense(X, y, 1.0, np.array([0.3, 0.3]), 0.05), rtol=1e-9)
+
+
+def test_mcov_and_prior_sample(rng):
+    X = rng.uniform(size=(15, 2))
+    cov = GPCov.create([1.0], [0.2, 0.2])
+    K = mcov(X, cov, 0.1)
+    np.testing.assert_allclose(
+        K, kernel_np(X, X, 1.0, np.array([0.2, 0.2])) + 0.1 * np.eye(15), rtol=1e-9
+    )
+    s = prior_sample(X, cov, 0.1, rng=np.random.default_rng(0), n_samples=3)
+    assert s.shape == (15, 3)
+
+
+def test_full_gplvm_mll_matches_oracle(rng):
+    X = rng.uniform(size=(18, 2))
+    Y = rng.normal(size=(18, 3))
+    cov = GPCov.create([1.0], [0.3, 0.3])
+    ll = float(full_gplvm_mll(jnp.asarray(X), jnp.asarray(Y), cov, 0.05))
+    assert np.isclose(ll, _mll_dense(X, Y, 1.0, np.array([0.3, 0.3]), 0.05), rtol=1e-10)
+
+
+def test_fitc_exact_when_inducing_everywhere(rng):
+    """FITC with Z = X: Qnn = Knn so g = nv and the FITC mll equals the
+    exact marginal likelihood (up to jitter)."""
+    X = rng.uniform(size=(25, 2))
+    Y = rng.normal(size=(25, 3))
+    cov = GPCov.create([1.0], [0.3, 0.3])
+    ll_fitc = float(fitc_mll(jnp.asarray(X), jnp.asarray(X), jnp.asarray(Y), cov, 0.1))
+    ll_exact = _mll_dense(X, Y, 1.0, np.array([0.3, 0.3]), 0.1)
+    assert np.isclose(ll_fitc, ll_exact, rtol=1e-4)
+
+
+def test_titsias_bound_below_exact(rng):
+    X = rng.uniform(size=(40, 2))
+    cov = GPCov.create([1.0], [0.3, 0.3])
+    K = kernel_np(X, X, 1.0, np.array([0.3, 0.3])) + 0.1 * np.eye(40)
+    Y = np.linalg.cholesky(K) @ rng.normal(size=(40, 2))
+    Z = X[rng.choice(40, 10, replace=False)]
+    bound = float(titsias_bound(jnp.asarray(X), jnp.asarray(Z), jnp.asarray(Y), cov, 0.1))
+    exact = _mll_dense(X, Y, 1.0, np.array([0.3, 0.3]), 0.1)
+    assert bound <= exact + 1e-6
+    # with all points as inducing, the bound is tight
+    tight = float(titsias_bound(jnp.asarray(X), jnp.asarray(X), jnp.asarray(Y), cov, 0.1))
+    assert abs(tight - exact) < 1e-3 * abs(exact)
+
+
+def test_do_sgplvm_driver(tmp_path, monkeypatch, rng):
+    from gprf_tpu.data.sampled import SampledData
+    from gprf_tpu.model.sgplvm import do_sgplvm
+    from gprf_tpu.partition.grid import grid_centers
+
+    monkeypatch.setenv("GPRF_EXPERIMENTS", str(tmp_path / "exp"))
+    sd = SampledData(n=60, ntrain=50, lscale=0.3, obs_std=0.03, yd=4, seed=1)
+    sd.set_centers(grid_centers(4))
+    d = str(tmp_path / "sgplvm")
+    os.makedirs(d)
+    do_sgplvm(d, sd.X_obs, None, sd, maxsec=60, gplvm_type="sparse", num_inducing=15)
+    assert os.path.exists(os.path.join(d, "finished"))
+    from gprf_tpu.optim.driver import load_log
+
+    steps, times, lls = load_log(d)
+    assert len(steps) >= 3
+    assert lls[-1] > lls[0]
+    assert os.path.exists(os.path.join(d, "step_%05d_IX.npy" % steps[-1]))

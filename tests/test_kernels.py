@@ -124,3 +124,28 @@ def test_gpcov_is_pytree():
     mapped = jax.tree.map(lambda x: x * 2, cov)
     assert mapped.dfn_str == "euclidean"
     np.testing.assert_allclose(np.asarray(mapped.wfn_params), [2.0])
+
+
+def test_host_numpy_kernel_parity(rng):
+    """hostnp mirrors must match the device kernel definitions exactly."""
+    import jax.numpy as jnp
+    from gprf_tpu.kernels.hostnp import cross_kernel_matrix_np
+
+    X = rng.uniform(size=(9, 2))
+    for wfn in ["se", "matern32"]:
+        cov = GPCov.create([1.2], [0.2, 0.3], "euclidean", wfn)
+        np.testing.assert_allclose(
+            cross_kernel_matrix_np(cov, X, X),
+            np.asarray(cross_kernel_matrix(cov, jnp.asarray(X), jnp.asarray(X))),
+            rtol=1e-12,
+        )
+    Xl = np.column_stack(
+        [rng.uniform(120, 140, 7), rng.uniform(-10, 10, 7), rng.uniform(0, 600, 7)]
+    )
+    for wfn in ["se", "matern32"]:
+        cov = GPCov.create([0.9], [40.0, 35.0], "lld", wfn)
+        np.testing.assert_allclose(
+            cross_kernel_matrix_np(cov, Xl, Xl),
+            np.asarray(cross_kernel_matrix(cov, jnp.asarray(Xl), jnp.asarray(Xl))),
+            rtol=1e-10, atol=1e-12,
+        )

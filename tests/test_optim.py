@@ -1,0 +1,110 @@
+"""Driver tests: file protocol, optimization progress, analysis output."""
+
+import os
+
+import numpy as np
+import pytest
+
+from gprf_tpu.analysis.results import (
+    RESULT_COLS,
+    analyze_run,
+    load_final_results,
+    load_results,
+)
+from gprf_tpu.cli.gprfopt import build_run_name, do_run
+from gprf_tpu.data.sampled import SampledData
+from gprf_tpu.optim.driver import do_optimization, load_log
+from gprf_tpu.partition.grid import grid_centers
+
+
+@pytest.fixture
+def sdata(tmp_path, monkeypatch):
+    monkeypatch.setenv("GPRF_EXPERIMENTS", str(tmp_path / "exp"))
+    sd = SampledData(n=80, ntrain=60, lscale=0.3, obs_std=0.03, yd=5, seed=1, noise_var=0.01)
+    sd.set_centers(grid_centers(4))
+    return sd
+
+
+def test_do_optimization_task_x(tmp_path, sdata):
+    d = str(tmp_path / "run")
+    os.makedirs(d)
+    gprf = sdata.build_gprf(local_dist=0.001)
+    do_optimization(d, gprf, X0=sdata.X_obs, C0=None, sdata=sdata, maxsec=120)
+    # file protocol
+    assert os.path.exists(os.path.join(d, "finished"))
+    steps, times, lls = load_log(d)
+    assert len(steps) >= 3
+    assert os.path.exists(os.path.join(d, "step_%05d_X.npy" % steps[-1]))
+    # objective improved
+    assert lls[-1] > lls[0]
+    # latent error improved vs observed init
+    Xfinal = np.load(os.path.join(d, "step_%05d_X.npy" % steps[-1]))
+    assert sdata.mean_distance(Xfinal.flatten()) < sdata.mean_distance(sdata.X_obs.flatten())
+
+
+def test_do_optimization_task_cov(tmp_path, sdata):
+    d = str(tmp_path / "runc")
+    os.makedirs(d)
+    gprf = sdata.build_gprf(local_dist=0.001)
+    gprf.update_X(sdata.SX)
+    C0 = np.array((0.05, 1.0, 0.1, 0.1)).reshape(1, -1)
+    do_optimization(d, gprf, X0=None, C0=C0, sdata=sdata, maxsec=120)
+    steps, times, lls = load_log(d)
+    assert lls[-1] > lls[0]
+    FC = np.load(os.path.join(d, "step_%05d_cov.npy" % steps[-1]))
+    # learned lengthscale should move toward the true 0.3 from 0.1
+    assert abs(FC[0, 2] - 0.3) < abs(0.1 - 0.3)
+
+
+def test_analyze_run_writes_results(tmp_path, sdata):
+    d = str(tmp_path / "runa")
+    os.makedirs(d)
+    gprf = sdata.build_gprf(local_dist=0.001)
+    do_optimization(d, gprf, X0=sdata.X_obs, C0=None, sdata=sdata, maxsec=30)
+    analyze_run(d, sdata, local_dist=0.001, predict=True)
+    R = load_results(d)
+    assert R.shape[1] == len(RESULT_COLS)
+    final, true_row = load_final_results(d)
+    assert "mad" in final
+    # the oracle (trueX) row has mad == 0
+    assert true_row["mad"] == 0.0
+    # predictive scores present and sane: SMSE in (0, 1) for a real model
+    assert 0.0 < final["smse"] < 1.0
+
+
+def test_build_run_name_stable():
+    name = build_run_name(
+        dict(ntrain=1000, ntest=500, nblocks=20, lscale=0.06, obs_std=0.02)
+    )
+    assert name.startswith("1000_1500_20_0.060000_0.020000_")
+    assert "l-bfgs-b_x" in name
+
+
+def test_do_run_end_to_end(tmp_path, monkeypatch):
+    monkeypatch.setenv("GPRF_EXPERIMENTS", str(tmp_path / "exp"))
+    d = str(tmp_path / "run_e2e")
+    os.makedirs(d)
+    do_run(
+        d,
+        lscale=0.3,
+        n=70,
+        ntrain=50,
+        nblocks=4,
+        yd=4,
+        seed=1,
+        local_dist=0.01,
+        maxsec=30,
+        task="x",
+        obs_std=0.03,
+    )
+    assert os.path.exists(os.path.join(d, "results.txt"))
+    assert os.path.exists(os.path.join(d, "finished"))
+
+
+def test_maxsec_abort(tmp_path, sdata):
+    d = str(tmp_path / "runt")
+    os.makedirs(d)
+    gprf = sdata.build_gprf(local_dist=0.001)
+    do_optimization(d, gprf, X0=sdata.X_obs, C0=None, sdata=sdata, maxsec=0)
+    # aborts immediately but still writes the protocol files
+    assert os.path.exists(os.path.join(d, "finished"))
