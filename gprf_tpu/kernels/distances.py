@@ -70,6 +70,33 @@ def sq_euclidean(X1, X2, lscales):
     return jnp.maximum(r2, 0.0)
 
 
+@jax.custom_jvp
+def _central_angle(hav):
+    """2 * asin(sqrt(hav)) with a guarded derivative.
+
+    The derivative 1/sqrt(hav * (1 - hav)) is singular at coincident
+    (hav = 0) and antipodal (hav = 1) points; both ends are clamped to a
+    zero tangent, matching the reference convention of zeroing the
+    self-derivative (``dKv[p] = 0``, ``gprf.py:354``).  A single custom_jvp
+    also sidesteps an XLA:CPU fusion miscompile observed in the autodiff
+    backward of arcsin-of-clip-of-sqrt, which produced NaNs in the final
+    SIMD tail lanes of each fused row reduction.
+    """
+    return 2.0 * jnp.arcsin(jnp.sqrt(jnp.clip(hav, 0.0, 1.0)))
+
+
+@_central_angle.defjvp
+def _central_angle_jvp(primals, tangents):
+    (h,) = primals
+    (t,) = tangents
+    y = _central_angle(h)
+    tiny = jnp.finfo(jnp.result_type(h)).tiny
+    safe = (h > tiny) & (h < 1.0 - 1e-7)
+    denom = jnp.sqrt(jnp.where(safe, h * (1.0 - h), 1.0))
+    dydh = jnp.where(safe, 1.0 / denom, 0.0)
+    return y, dydh * t
+
+
 def _haversine_km(lonlat1, lonlat2):
     """Great-circle surface distance matrix in km.
 
@@ -85,10 +112,7 @@ def _haversine_km(lonlat1, lonlat2):
     sin_dlat = jnp.sin((lat1 - lat2) / 2.0)
     sin_dlon = jnp.sin((lon1 - lon2) / 2.0)
     hav = sin_dlat**2 + jnp.cos(lat1) * jnp.cos(lat2) * sin_dlon**2
-    # asin'(1) is singular (antipodal points); clamp just inside the domain.
-    s = jnp.clip(safe_sqrt(hav), 0.0, 1.0 - 1e-12)
-    central = 2.0 * jnp.arcsin(s)
-    return central * AVG_EARTH_RADIUS_KM
+    return _central_angle(hav) * AVG_EARTH_RADIUS_KM
 
 
 def sq_lld(X1, X2, lscales):

@@ -14,6 +14,7 @@ tensors (shapes stay fixed, so no retrace).
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from gprf_tpu.kernels.covfn import cross_kernel_matrix, kernel_matrix
@@ -219,7 +220,11 @@ class GPRF:
             unary_chunk=self._unary_chunk_for(arrays),
             pair_chunk=self._pair_chunk_for(arrays),
         )
-        return float(ll), np.asarray(gX), np.asarray(gC)
+        # one batched device_get (separate fetches each pay a transport
+        # round-trip); np.array copies because device views are read-only
+        # and the drivers mutate gradients in place (depth rescaling etc.)
+        ll, gX, gC = jax.device_get((ll, gX, gC))
+        return float(ll), np.array(gX), np.array(gC)
 
     def _unary_chunk_for(self, arrays):
         if self._unary_chunk is not None:
@@ -288,7 +293,7 @@ class GPRF:
             grad_X=grad_X,
             grad_cov=grad_cov,
         )
-        return float(ll), np.asarray(gX), np.asarray(gC).reshape(-1)
+        return float(ll), np.array(gX), np.array(gC).reshape(-1)
 
     # kernel evaluation helpers (reference ``gprf.py:333-343``) -------------
 
@@ -315,7 +320,11 @@ class GPRF:
             grad_X=grad_X,
             grad_cov=grad_cov,
         )
-        return float(ll), np.asarray(gX), np.asarray(gC)
+        # one batched device_get (separate fetches each pay a transport
+        # round-trip); np.array copies because device views are read-only
+        # and the drivers mutate gradients in place (depth rescaling etc.)
+        ll, gX, gC = jax.device_get((ll, gX, gC))
+        return float(ll), np.array(gX), np.array(gC)
 
     def train_predictor(self, test_cov=None, Y=None):
         from gprf_tpu.model.predict import train_predictor

@@ -42,10 +42,16 @@ class Blocker:
         return int(np.argmin(dists))
 
     def block_clusters(self, X: np.ndarray) -> list[np.ndarray]:
-        dists = pair_distances(np.asarray(X), self.block_centers)
-        blocks = np.argmin(dists, axis=1)
-        all_idxs = np.arange(len(X))
-        return [all_idxs[blocks == i] for i in range(self.n_blocks)]
+        X = np.asarray(X)
+        # argmin of squared distance: |x|^2 - 2 x.c + |c|^2, dropping |x|^2
+        scores = -2.0 * (X @ self.block_centers.T) + np.sum(
+            self.block_centers**2, axis=1
+        )
+        blocks = np.argmin(scores, axis=1)
+        # single argsort split instead of B boolean scans over all of X
+        order = np.argsort(blocks, kind="stable")
+        bounds = np.searchsorted(blocks[order], np.arange(self.n_blocks + 1))
+        return [order[bounds[i] : bounds[i + 1]] for i in range(self.n_blocks)]
 
     def neighbors(self, diag_connections: bool = True) -> list[tuple[int, int]]:
         """Edges (i, j), i > j, between grid-adjacent blocks.

@@ -149,3 +149,22 @@ def test_host_numpy_kernel_parity(rng):
             np.asarray(cross_kernel_matrix(cov, jnp.asarray(Xl), jnp.asarray(Xl))),
             rtol=1e-10, atol=1e-12,
         )
+
+
+def test_haversine_grad_no_simd_tail_nans(rng):
+    """Regression: XLA:CPU fused backward of the central-angle composition
+    produced NaNs in the last SIMD tail lanes for jitted f32 gradients
+    (fixed by the _central_angle custom_jvp)."""
+    for n in [48, 50, 100]:
+        X = np.column_stack(
+            [rng.uniform(120, 155, n), rng.uniform(-10, 35, n)]
+        ).astype(np.float32)
+        C = jnp.asarray(rng.uniform(size=(n, n)).astype(np.float32))
+
+        def f(Xs):
+            from gprf_tpu.kernels.distances import _haversine_km
+
+            return jnp.sum(C * _haversine_km(Xs, Xs))
+
+        g = np.asarray(jax.jit(jax.grad(f))(jnp.asarray(X)))
+        assert np.all(np.isfinite(g)), f"non-finite grads at n={n}"
