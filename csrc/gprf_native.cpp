@@ -424,6 +424,66 @@ void sparse_chol_lmult(void* handle, double* z, int nrhs) {
   }
 }
 
+// Selected inverse (Takahashi / Erisman-Tinney): entries of A^-1 on the
+// pattern of L, written aligned with the factor's CSC layout (diag-first
+// per column).  This is what the reference consumes from CHOLMOD's
+// ``factor.inv()`` — every use multiplies the inverse elementwise against
+// a sparse matrix sharing K's pattern (gprf.py:452,489), so only the
+// pattern subset is ever needed.
+//
+// With A = L D L1^T (L1 = unit lower triangular, D = diag(L)^2):
+//   Z_jj = 1/D_j - sum_{k in col j, k>j} L1_kj Z_kj
+//   Z_ij = -sum_{k in col j, k>j} L1_kj Z_(k,i)    (i > j in col j pattern)
+// processed for j = n-1 .. 0, rows of each column in descending order.
+void sparse_chol_selected_inv(void* handle, double* Zx) {
+  CholFactor* F = (CholFactor*)handle;
+  int n = F->n;
+  const int64_t* Lp = F->Lp.data();
+  const int32_t* Li = F->Li.data();
+  const double* Lx = F->Lx.data();
+
+  // Z lookup: Z entry at (i, j), i >= j, stored at the factor's position.
+  // Columns store diag first then ascending rows -> binary search.
+  auto zfind = [&](int i, int j) -> double {
+    if (i == j) return Zx[Lp[j]];
+    int64_t lo = Lp[j] + 1, hi = Lp[j + 1];
+    while (lo < hi) {
+      int64_t mid = (lo + hi) / 2;
+      if (Li[mid] < i)
+        lo = mid + 1;
+      else
+        hi = mid;
+    }
+    if (lo < Lp[j + 1] && Li[lo] == i) return Zx[lo];
+    return 0.0;  // outside pattern: treated as zero (exact on chol pattern)
+  };
+
+  for (int j = n - 1; j >= 0; j--) {
+    double dj = Lx[Lp[j]];        // L_jj
+    double Dj = dj * dj;
+    int64_t p0 = Lp[j], p1 = Lp[j + 1];
+    // rows descending: iterate from the end of the column
+    for (int64_t p = p1 - 1; p >= p0; p--) {
+      int i = Li[p];
+      double acc = 0.0;
+      for (int64_t q = p0 + 1; q < p1; q++) {
+        int k = Li[q];
+        double l1 = Lx[q] / dj;  // L1_kj
+        double zk;
+        if (i == j)
+          zk = Zx[q];  // Z_kj currently being filled in this column (k > j)
+        else
+          zk = (k >= i) ? zfind(k, i) : zfind(i, k);
+        acc += l1 * zk;
+      }
+      if (i == j)
+        Zx[p] = 1.0 / Dj - acc;
+      else
+        Zx[p] = -acc;
+    }
+  }
+}
+
 void sparse_chol_free(void* handle) { delete (CholFactor*)handle; }
 
 }  // extern "C"

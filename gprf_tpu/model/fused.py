@@ -32,31 +32,25 @@ import jax
 import jax.numpy as jnp
 
 from gprf_tpu.kernels.gpcov import GPCov
-from gprf_tpu.model.objective import GPRFParams, gprf_ll
+from gprf_tpu.model.objective import GPRFParams, gprf_ll, gprf_ll_schur
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("m", "dfn_str", "wfn_str", "grad_cov"),
-)
-def fused_grid_value_and_grad(
+def fused_grid_objective(
     params: GPRFParams,
     Y,
     centers,          # [B, dx]
-    edges,            # [E, 2] int32 (static contents not required)
+    edges,            # [E, 2] int32
     unary_weights,    # [B]
     X_obs_flat,       # [n*dx] prior means
     obs_std,          # scalar
     m: int,
     dfn_str: str = "euclidean",
     wfn_str: str = "se",
-    grad_cov: bool = False,
+    pair_mode: str = "schur",
 ):
-    """(nll, ngrad_flat, overflow): one-dispatch objective+gradient
-    evaluation with on-device nearest-center re-blocking and Gaussian
-    X-prior — the complete per-step work of the reference synthetic driver
-    (``gprfopt.py:377-417``) as a single device program."""
-
+    """(ll + prior, overflow): pure-jax fused objective with on-device
+    nearest-center re-blocking — the complete per-step objective of the
+    reference synthetic driver (``gprfopt.py:377-417``)."""
     n = params.X.shape[0]
     B = centers.shape[0]
 
@@ -82,17 +76,22 @@ def fused_grid_value_and_grad(
         return assignment, mask, overflow
 
     # membership is a function of X but piecewise constant: compute it
-    # outside the differentiated closure
+    # outside the differentiated graph
     assignment, mask, overflow = assemble(jax.lax.stop_gradient(params.X))
-    pair_assignment = jnp.concatenate(
-        [assignment[edges[:, 0]], assignment[edges[:, 1]]], axis=1
-    )
-    pair_mask = jnp.concatenate([mask[edges[:, 0]], mask[edges[:, 1]]], axis=1)
     pair_weights = jnp.ones((edges.shape[0],), dtype=params.X.dtype)
 
-    def objective(p):
+    if pair_mode == "schur":
+        ll = gprf_ll_schur(
+            params, Y, assignment, mask, edges, unary_weights, pair_weights,
+            dfn_str=dfn_str, wfn_str=wfn_str,
+        )
+    else:
+        pair_assignment = jnp.concatenate(
+            [assignment[edges[:, 0]], assignment[edges[:, 1]]], axis=1
+        )
+        pair_mask = jnp.concatenate([mask[edges[:, 0]], mask[edges[:, 1]]], axis=1)
         ll = gprf_ll(
-            p,
+            params,
             Y,
             assignment,
             mask,
@@ -103,30 +102,63 @@ def fused_grid_value_and_grad(
             dfn_str=dfn_str,
             wfn_str=wfn_str,
         )
-        r = (p.X.reshape(-1) - X_obs_flat) / obs_std
-        n_flat = X_obs_flat.shape[0]
-        prior = -0.5 * jnp.sum(r * r) - 0.5 * n_flat * jnp.log(
-            2 * jnp.pi * obs_std**2
-        )
-        return ll + prior
+    r = (params.X.reshape(-1) - X_obs_flat) / obs_std
+    n_flat = X_obs_flat.shape[0]
+    prior = -0.5 * jnp.sum(r * r) - 0.5 * n_flat * jnp.log(2 * jnp.pi * obs_std**2)
+    return ll + prior, overflow
 
-    ll, g = jax.value_and_grad(objective)(params)
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("m", "dfn_str", "wfn_str", "grad_cov", "pair_mode"),
+)
+def fused_grid_value_and_grad(
+    params: GPRFParams,
+    Y,
+    centers,
+    edges,
+    unary_weights,
+    X_obs_flat,
+    obs_std,
+    m: int,
+    dfn_str: str = "euclidean",
+    wfn_str: str = "se",
+    grad_cov: bool = False,
+    pair_mode: str = "schur",
+):
+    """(nll, ngrad_flat, ngradCov, overflow): one-dispatch objective plus
+    gradient evaluation."""
+
+    def objective(p):
+        ll, overflow = fused_grid_objective(
+            p, Y, centers, edges, unary_weights, X_obs_flat, obs_std,
+            m=m, dfn_str=dfn_str, wfn_str=wfn_str, pair_mode=pair_mode,
+        )
+        return ll, overflow
+
+    (ll, overflow), g = jax.value_and_grad(objective, has_aux=True)(params)
     if grad_cov:
         gC = jnp.concatenate(
             [jnp.reshape(g.noise_var, (1,)), g.wfn_params, g.dfn_params]
         )
     else:
-        gC = jnp.zeros((1 + g.wfn_params.shape[0] + g.dfn_params.shape[0],), dtype=params.X.dtype)
+        gC = jnp.zeros(
+            (1 + g.wfn_params.shape[0] + g.dfn_params.shape[0],), dtype=params.X.dtype
+        )
     return -ll, -g.X.reshape(-1), gC, overflow
 
 
 class FusedGridGPRF:
     """Host wrapper for the fused path: one device round-trip per eval.
 
-    Drop-in for the scipy L-BFGS closure of the synthetic task=x workload.
+    Drop-in for the scipy L-BFGS closure of the synthetic task=x workload;
+    ``loss_fn()`` exposes the pure scalar loss for fully on-device
+    optimizers (:mod:`gprf_tpu.optim.device_lbfgs`).
     """
 
-    def __init__(self, X0, Y, centers, edges, X_obs, obs_std, cov: GPCov, noise_var, m=None):
+    def __init__(self, X0, Y, centers, edges, X_obs, obs_std, cov: GPCov,
+                 noise_var, m=None, pair_mode: str = "schur"):
+        self.pair_mode = pair_mode
         self.Y = jnp.asarray(Y)
         self.centers = jnp.asarray(np.asarray(centers))
         edges = np.asarray(edges, dtype=np.int32).reshape(-1, 2)
@@ -153,15 +185,58 @@ class FusedGridGPRF:
             m = (max(sizes) + 7) // 8 * 8
         self.m = m
 
+    def _params(self, x_flat):
+        dtype = self.Y.dtype
+        return GPRFParams(
+            X=jnp.asarray(np.asarray(x_flat).reshape(self.shape), dtype=dtype),
+            wfn_params=jnp.asarray(self.cov.wfn_params, dtype=dtype),
+            dfn_params=jnp.asarray(self.cov.dfn_params, dtype=dtype),
+            noise_var=jnp.asarray(self.noise_var, dtype=dtype),
+        )
+
+    def loss_fn(self):
+        """Pure scalar loss x_flat -> nll for in-jit optimizers.  Closes
+        over the current capacity m; rebuild after capacity growth."""
+        Y, centers, edges = self.Y, self.centers, self.edges
+        unary_weights, X_obs_flat = self.unary_weights, self.X_obs_flat
+        obs_std, m, shape = self.obs_std, self.m, self.shape
+        dtype = Y.dtype
+        wfn_params = jnp.asarray(self.cov.wfn_params, dtype=dtype)
+        dfn_params = jnp.asarray(self.cov.dfn_params, dtype=dtype)
+        noise_var = jnp.asarray(self.noise_var, dtype=dtype)
+        dfn_str, wfn_str = self.cov.dfn_str, self.cov.wfn_str
+
+        pair_mode = self.pair_mode
+
+        def loss(x_flat):
+            params = GPRFParams(
+                X=x_flat.reshape(shape),
+                wfn_params=wfn_params,
+                dfn_params=dfn_params,
+                noise_var=noise_var,
+            )
+            ll, _ = fused_grid_objective(
+                params, Y, centers, edges, unary_weights, X_obs_flat, obs_std,
+                m=m, dfn_str=dfn_str, wfn_str=wfn_str, pair_mode=pair_mode,
+            )
+            return -ll
+
+        return loss
+
+    def check_capacity(self, x_flat) -> bool:
+        """True if the current capacity m holds all blocks at x_flat."""
+        from gprf_tpu.partition.grid import Blocker
+
+        b = Blocker(np.asarray(self.centers))
+        sizes = [len(ix) for ix in b.block_clusters(np.asarray(x_flat).reshape(self.shape))]
+        return max(sizes) <= self.m
+
+    def grow_capacity(self):
+        self.m += 16
+
     def value_and_grad(self, x_flat):
         """(nll, ngrad) for the scipy driver; grows capacity on overflow."""
-        X = jnp.asarray(np.asarray(x_flat).reshape(self.shape), dtype=self.Y.dtype)
-        params = GPRFParams(
-            X=X,
-            wfn_params=jnp.asarray(self.cov.wfn_params, dtype=self.Y.dtype),
-            dfn_params=jnp.asarray(self.cov.dfn_params, dtype=self.Y.dtype),
-            noise_var=jnp.asarray(self.noise_var, dtype=self.Y.dtype),
-        )
+        params = self._params(x_flat)
         while True:
             nll, ngrad, _, overflow = jax.device_get(
                 fused_grid_value_and_grad(
@@ -175,8 +250,9 @@ class FusedGridGPRF:
                     m=self.m,
                     dfn_str=self.cov.dfn_str,
                     wfn_str=self.cov.wfn_str,
+                    pair_mode=self.pair_mode,
                 )
             )
             if not overflow:
                 return float(nll), np.array(ngrad, dtype=np.float64)
-            self.m += 16  # modest capacity growth; recompiles at the new m
+            self.grow_capacity()  # recompiles at the new m

@@ -192,12 +192,14 @@ class GPRF:
         grad_cov: bool = False,
         local: bool = True,
         parallel: bool = False,  # accepted for API parity; TPU path is always batched
-        sparse: bool = False,  # dense masked path; sparse analog not needed on TPU at these scales
+        sparse: bool = False,  # truncated-support sparse path (native Cholesky + Takahashi)
         **_ignored,
     ):
         """(ll, gradX, gradCov) — the reference ``llgrad`` contract
         (``gprf.py:206-296``).  ``local=False`` uses the fully-connected
         pairwise objective (all block pairs)."""
+        if sparse:
+            return self._llgrad_sparse(grad_X, grad_cov, local)
         if local:
             arrays = self._device_arrays()
         else:
@@ -247,6 +249,26 @@ class GPRF:
             )
             self._all_pairs_arrays = layout.device_arrays()
         return self._all_pairs_arrays
+
+    def subset_llgrad(self, blocks):
+        """Objective restricted to a subset of blocks: unaries in the subset
+        plus pairs within it, with subset-local neighbor counts (reference
+        ``gprf.py:182-204``)."""
+        block_set = set(int(b) for b in blocks)
+        neighbors_in_set = [
+            (i, j) for (i, j) in self.neighbors if i in block_set and j in block_set
+        ]
+        local_counts = {b: 0 for b in block_set}
+        for i, j in neighbors_in_set:
+            local_counts[i] += 1
+            local_counts[j] += 1
+        ll = 0.0
+        for b in blocks:
+            ull = self.llgrad_unary(int(b))[0]
+            ll += (1 - local_counts[int(b)]) * ull
+        for i, j in neighbors_in_set:
+            ll += self.llgrad_joint(i, j)[0]
+        return ll
 
     # single-term entry points, mainly for tests / parity checks ------------
 
@@ -301,6 +323,52 @@ class GPRF:
         if X2 is None:
             return np.asarray(kernel_matrix(self.cov, jnp.asarray(X), noise_var=self.noise_var))
         return np.asarray(cross_kernel_matrix(self.cov, jnp.asarray(X), jnp.asarray(X2)))
+
+    def _llgrad_sparse(self, grad_X, grad_cov, local, max_distance=5.0):
+        """Per-block truncated-support sparse path (reference ``--sparse``,
+        ``gprf.py:378-494``): host loop over unary and pair terms through
+        the native sparse Cholesky + selected inverse."""
+        from gprf_tpu.model.sparse_llgrad import gaussian_llgrad_sparse
+
+        if local:
+            neighbors = self.neighbors
+            counts = self.neighbor_count
+        else:
+            B = self.n_blocks
+            neighbors = [(i, j) for i in range(B) for j in range(i)]
+            counts = {i: B - 1 for i in range(B)}
+        blocks = self.layout.block_idxs()
+        ncov = 2 + len(np.asarray(self.cov.dfn_params))
+        ll = 0.0
+        gradX = np.zeros(self.X.shape)
+        gradC = np.zeros((1, ncov))
+
+        def term(idxs):
+            return gaussian_llgrad_sparse(
+                self.X[idxs], self.Y[idxs], self.cov, self.noise_var,
+                grad_X=grad_X_flag, grad_cov=grad_cov, max_distance=max_distance,
+            )
+
+        grad_X_flag = grad_X
+        for b, idxs in enumerate(blocks):
+            w = 1 - counts.get(b, 0)
+            tll, tgX, tgC = term(idxs)
+            ll += w * tll
+            if grad_X:
+                gradX[idxs] += w * tgX
+            if grad_cov:
+                gradC[0] += w * tgC
+        for i, j in neighbors:
+            idxs = np.concatenate([blocks[i], blocks[j]])
+            tll, tgX, tgC = term(idxs)
+            ll += tll
+            if grad_X:
+                gradX[idxs] += tgX
+            if grad_cov:
+                gradC[0] += tgC
+        if not grad_X:
+            gradX = np.zeros(self.X.shape)
+        return float(ll), gradX, gradC
 
     def _llgrad_kernelized(self, arrays, grad_X, grad_cov):
         from gprf_tpu.model.kernelized import kernelized_value_and_grad

@@ -26,6 +26,7 @@ processed in ``lax.map`` chunks with rematerialization, bounding peak HBM at
 from __future__ import annotations
 
 import functools
+import math
 from typing import NamedTuple
 
 import jax
@@ -72,6 +73,91 @@ def _batch_terms(X, Y, assignment, mask, cov, noise_var, chunk_size):
     return jax.lax.map(jax.checkpoint(one), (assignment, mask), batch_size=chunk_size)
 
 
+def _schur_ll(
+    X, Y, assignment, mask, edges, unary_weights, pair_weights, cov, noise_var,
+    pair_chunk=None,
+):
+    """GPRF objective with pair terms factored through the unary Cholesky.
+
+    The joint pair covariance factors as
+
+        chol([[Kii, Kij], [Kji, Kjj]]) = [[L_i, 0], [B^T, chol(S)]],
+        B = L_i^-1 Kij,  S = Kjj - B^T B,
+
+    so each edge needs one m-wide Cholesky (of the Schur complement S), one
+    triangular solve, and one MXU matmul instead of a 2m-wide Cholesky —
+    8x fewer factorization flops, and the L_i come free from the unary
+    terms.  Mathematically identical to the joint form (tested to f64
+    precision); autodiff flows through the shared factors.
+
+    Matmuls run at HIGHEST precision: the Schur complement must stay
+    numerically PSD, and TPU's default bf16 passes are not accurate enough.
+    """
+    import jax.scipy.linalg as jsp_linalg
+    from gprf_tpu.linalg.masked import pad_kernel_matrix
+
+    _LOG2PI = math.log(2.0 * math.pi)
+    dy = Y.shape[-1]
+    m = assignment.shape[1]
+    eye = jnp.eye(m, dtype=X.dtype)
+
+    with jax.default_matmul_precision("highest"):
+        # ---- unary pass: masked Cholesky factors + per-block ll pieces
+        def unary(idx, msk):
+            Xb = X[idx]
+            K = cross_kernel_matrix(cov, Xb, Xb) + noise_var * eye
+            Kp = pad_kernel_matrix(K, msk)
+            L = jsp_linalg.cholesky(Kp, lower=True)
+            maskf = msk.astype(X.dtype)
+            Ym = Y[idx] * maskf[:, None]
+            z = jsp_linalg.solve_triangular(L, Ym, lower=True)
+            quad = jnp.sum(z * z)
+            logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L)))
+            nb = jnp.sum(maskf)
+            ll = -0.5 * quad - 0.5 * dy * logdet - 0.5 * dy * nb * _LOG2PI
+            return ll, L, z, quad, logdet, nb
+
+        unary_ll, Ls, Zs, quads, logdets, nbs = jax.vmap(unary)(assignment, mask)
+        total = jnp.sum(unary_weights * unary_ll)
+
+        if edges.shape[0] == 0:
+            return total
+
+        # ---- pair pass: Schur complement against the i-side factor
+        def pair(e):
+            i = edges[e, 0]
+            j = edges[e, 1]
+            idx_i = assignment[i]
+            idx_j = assignment[j]
+            mi = mask[i].astype(X.dtype)
+            mj = mask[j].astype(X.dtype)
+            Xi = X[idx_i]
+            Xj = X[idx_j]
+            Kij = cross_kernel_matrix(cov, Xi, Xj) * (mi[:, None] * mj[None, :])
+            Kjj = cross_kernel_matrix(cov, Xj, Xj) + noise_var * eye
+            Kjj = pad_kernel_matrix(Kjj, mask[j])
+            Li = Ls[i]
+            Bm = jsp_linalg.solve_triangular(Li, Kij, lower=True)
+            S = Kjj - Bm.T @ Bm
+            Lsc = jsp_linalg.cholesky(S, lower=True)
+            Yj = Y[idx_j] * mj[:, None]
+            rhs = Yj - Bm.T @ Zs[i]
+            z2 = jsp_linalg.solve_triangular(Lsc, rhs, lower=True)
+            quad = quads[i] + jnp.sum(z2 * z2)
+            logdet = logdets[i] + 2.0 * jnp.sum(jnp.log(jnp.diagonal(Lsc)))
+            nb = nbs[i] + jnp.sum(mj)
+            return -0.5 * quad - 0.5 * dy * logdet - 0.5 * dy * nb * _LOG2PI
+
+        E = edges.shape[0]
+        if pair_chunk is None or E <= pair_chunk:
+            pair_ll = jax.vmap(pair)(jnp.arange(E))
+        else:
+            pair_ll = jax.lax.map(
+                jax.checkpoint(pair), jnp.arange(E), batch_size=pair_chunk
+            )
+        return total + jnp.sum(pair_weights * pair_ll)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("dfn_str", "wfn_str", "unary_chunk", "pair_chunk"),
@@ -111,6 +197,35 @@ def gprf_ll(
         )
         ll = ll + jnp.sum(pair_weights * pair)
     return ll
+
+
+@functools.partial(
+    jax.jit, static_argnames=("dfn_str", "wfn_str", "pair_chunk")
+)
+def gprf_ll_schur(
+    params: GPRFParams,
+    Y,
+    assignment,
+    mask,
+    edges,
+    unary_weights,
+    pair_weights,
+    dfn_str: str = "euclidean",
+    wfn_str: str = "se",
+    pair_chunk: int | None = None,
+):
+    """Scalar GPRF log-likelihood via the Schur-complement pair form
+    (see :func:`_schur_ll`); numerically equal to :func:`gprf_ll`."""
+    cov = GPCov(
+        wfn_params=params.wfn_params,
+        dfn_params=params.dfn_params,
+        dfn_str=dfn_str,
+        wfn_str=wfn_str,
+    )
+    return _schur_ll(
+        params.X, Y, assignment, mask, edges, unary_weights, pair_weights,
+        cov, params.noise_var, pair_chunk=pair_chunk,
+    )
 
 
 @functools.partial(

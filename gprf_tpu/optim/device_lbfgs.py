@@ -1,0 +1,241 @@
+"""On-device L-BFGS: the whole optimizer loop inside one jit.
+
+The reference (and our scipy-bridge driver) pays a host<->device round trip
+per objective evaluation; on a tunneled TPU that transport costs more than
+the computation.  Here the complete L-BFGS iteration — zoom line search
+(each trial point is one objective+gradient evaluation, exactly what the
+reference's log counts), two-loop recursion, parameter update — runs as a
+``lax.scan`` of optax's ``lbfgs`` transform, so S iterations cost one
+dispatch.  Optimizer state (L-BFGS memory, line-search cache) round-trips
+between dispatches as a pytree, so logging/checkpointing granularity is
+per-dispatch while the optimization semantics are identical to a single
+continuous run.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import optax.tree_utils as otu
+
+from gprf_tpu.utils.io import save_step
+
+
+def make_scan_lbfgs_runner(loss_fn, num_steps: int, memory_size: int = 10,
+                           c1: float = 1e-4, eta_shrink: float = 0.5,
+                           eta_grow: float = 1.2):
+    """Scan-only L-BFGS: exactly one loss+grad evaluation per iteration.
+
+    Classic zoom line searches are ``lax.while_loop``s whose bodies re-run
+    the objective a data-dependent number of times; on this backend each
+    while iteration costs ~ms of dispatch overhead (measured ~100 ms per
+    optimizer step even on a trivial loss).  This variant uses
+    *retrospective* Armijo control instead: step k evaluates the objective
+    at the point proposed by step k-1; if the decrease was insufficient the
+    state reverts and the step scale shrinks — so the trial evaluation *is*
+    the next iteration's evaluation and the whole optimizer is a fixed
+    ``lax.scan`` (compiled, zero per-iteration overhead).  The L-BFGS
+    memory only absorbs curvature pairs from accepted steps.
+
+    Returns (init_fn, run_fn); run_fn(carry) -> (carry, (value, accepted,
+    gnorm)) advances num_steps iterations in one dispatch.  Counted
+    objective evaluations == iterations, the same unit the reference logs.
+    """
+
+    value_and_grad = jax.value_and_grad(loss_fn)
+    M = memory_size
+
+    @jax.jit
+    def init_fn(x0):
+        x0 = jnp.asarray(x0)
+        n = x0.shape[0]
+        v0, g0 = value_and_grad(x0)
+        return dict(
+            x=x0, v=v0, g=g0,
+            x_prev=x0, v_prev=v0, g_prev=g0,
+            first=jnp.asarray(True),
+            eta=jnp.asarray(1.0, x0.dtype),
+            S=jnp.zeros((M, n), x0.dtype),
+            Ymem=jnp.zeros((M, n), x0.dtype),
+            rho=jnp.zeros((M,), x0.dtype),
+            valid=jnp.zeros((M,), bool),
+            head=jnp.asarray(0, jnp.int32),
+        )
+
+    def _two_loop(g, S, Ymem, rho, valid, head):
+        # standard two-loop recursion over the circular memory
+        idxs = (head - 1 - jnp.arange(M)) % M  # newest-first
+
+        def bwd(q, i):
+            use = valid[i]
+            alpha = jnp.where(use, rho[i] * jnp.dot(S[i], q), 0.0)
+            q = q - alpha * Ymem[i] * use
+            return q, alpha
+
+        q, alphas = jax.lax.scan(bwd, g, idxs)
+        # initial Hessian scaling gamma = s.y / y.y of the newest pair
+        newest = (head - 1) % M
+        sy = jnp.dot(S[newest], Ymem[newest])
+        yy = jnp.dot(Ymem[newest], Ymem[newest])
+        gamma = jnp.where(valid[newest] & (yy > 0), sy / yy, 1.0)
+        r = gamma * q
+
+        # iterate oldest-first = reverse of idxs
+        def fwd2(carry, k):
+            r = carry
+            i = idxs[M - 1 - k]
+            use = valid[i]
+            beta = jnp.where(use, rho[i] * jnp.dot(Ymem[i], r), 0.0)
+            alpha = alphas[M - 1 - k]
+            r = r + jnp.where(use, alpha - beta, 0.0) * S[i]
+            return r, None
+
+        r, _ = jax.lax.scan(fwd2, r, jnp.arange(M))
+        return -r  # descent direction
+
+    @jax.jit
+    def run_fn(carry):
+        def step(carry, _):
+            c = dict(carry)
+            v_new, g_new = value_and_grad(c["x"])
+            # retrospective Armijo: compare against the value at the point
+            # the last step departed from
+            expected = c1 * jnp.abs(jnp.dot(c["g_prev"], c["x"] - c["x_prev"]))
+            ok = c["first"] | (v_new <= c["v_prev"] - expected) | (
+                v_new < c["v_prev"]
+            )
+
+            # on accept: fold (s, y) into memory if curvature is positive
+            s = c["x"] - c["x_prev"]
+            y = g_new - c["g_prev"]
+            sy = jnp.dot(s, y)
+            store = ok & (~c["first"]) & (sy > 1e-10)
+            h = c["head"] % M
+            S = jnp.where(store, c["S"].at[h].set(s), c["S"])
+            Ymem = jnp.where(store, c["Ymem"].at[h].set(y), c["Ymem"])
+            rho = jnp.where(store, c["rho"].at[h].set(1.0 / jnp.where(sy > 1e-10, sy, 1.0)), c["rho"])
+            valid = jnp.where(store, c["valid"].at[h].set(True), c["valid"])
+            head = jnp.where(store, c["head"] + 1, c["head"])
+
+            # effective state: accepted -> new point; rejected -> revert
+            x_eff = jnp.where(ok, c["x"], c["x_prev"])
+            v_eff = jnp.where(ok, v_new, c["v_prev"])
+            g_eff = jnp.where(ok, g_new, c["g_prev"])
+            eta = jnp.where(ok, jnp.minimum(c["eta"] * eta_grow, 1.0), c["eta"] * eta_shrink)
+
+            d = _two_loop(g_eff, S, Ymem, rho, valid, head)
+            # first-iteration safeguard: gradient-norm-scaled steepest descent
+            gn = jnp.linalg.norm(g_eff)
+            d = jnp.where(
+                jnp.any(valid), d, -g_eff / jnp.maximum(gn, 1.0)
+            )
+            x_next = x_eff + eta * d
+
+            out = dict(
+                x=x_next, v=v_eff, g=g_eff,
+                x_prev=x_eff, v_prev=v_eff, g_prev=g_eff,
+                first=jnp.asarray(False),
+                eta=eta, S=S, Ymem=Ymem, rho=rho, valid=valid, head=head,
+            )
+            return out, (v_eff, ok, gn)
+
+        carry, traj = jax.lax.scan(step, carry, None, length=num_steps)
+        return carry, traj
+
+    return init_fn, run_fn
+
+
+def make_lbfgs_runner(loss_fn, num_steps: int, memory_size: int = 10,
+                      max_linesearch_steps: int = 25):
+    """(init_fn, run_fn): run_fn(x, state) advances ``num_steps`` L-BFGS
+    iterations in one jitted call.
+
+    Returns per-iteration diagnostics: objective value, line-search eval
+    count, and gradient norm.
+    """
+    opt = optax.lbfgs(
+        memory_size=memory_size,
+        linesearch=optax.scale_by_zoom_linesearch(
+            max_linesearch_steps=max_linesearch_steps
+        ),
+    )
+    value_and_grad = optax.value_and_grad_from_state(loss_fn)
+
+    def init_fn(x0):
+        return opt.init(x0)
+
+    @jax.jit
+    def run_fn(x, state):
+        def step(carry, _):
+            x, state = carry
+            value, grad = value_and_grad(x, state=state)
+            updates, state = opt.update(
+                grad, state, x, value=value, grad=grad, value_fn=loss_fn
+            )
+            x = optax.apply_updates(x, updates)
+            ls_info = state[2].info
+            return (x, state), (
+                value,
+                ls_info.num_linesearch_steps,
+                otu.tree_l2_norm(grad),
+            )
+
+        (x, state), traj = jax.lax.scan(step, (x, state), None, length=num_steps)
+        return x, state, traj
+
+    return init_fn, run_fn
+
+
+def do_optimization_fused(
+    d,
+    fused,
+    X0,
+    maxsec: float = 3600,
+    max_iters: int = 400,
+    steps_per_dispatch: int = 20,
+    ftol: float = 1e-6,
+):
+    """Optimization driver over a :class:`~gprf_tpu.model.fused.FusedGridGPRF`
+    loss with the reference file protocol (log.txt rows per L-BFGS
+    iteration, per-dispatch X checkpoints, ``finished`` marker).
+
+    Returns the final flat X.
+    """
+    loss_fn = fused.loss_fn()
+    init_fn, run_fn = make_scan_lbfgs_runner(loss_fn, steps_per_dispatch)
+
+    carry = init_fn(jnp.asarray(np.asarray(X0).reshape(-1), dtype=fused.Y.dtype))
+    f_log = open(os.path.join(d, "log.txt"), "w")
+    t0 = time.time()
+    it = 0
+    prev_best = np.inf
+    try:
+        while it < max_iters and time.time() - t0 < maxsec:
+            carry, (values, accepted, gnorms) = run_fn(carry)
+            values = -np.asarray(values)  # stored as nll; log as ll below
+            x_host = np.asarray(carry["x"])
+            if not np.all(np.isfinite(x_host)):
+                raise FloatingPointError("optimizer diverged to non-finite X")
+            save_step(d, it + steps_per_dispatch, X=x_host.reshape(np.asarray(X0).shape))
+            now = time.time() - t0
+            for k, v in enumerate(values):
+                # positive objective rows like the reference log (ll)
+                f_log.write("%d %.2f %.2f\n" % (it + k, now, float(v)))
+            f_log.flush()
+            it += steps_per_dispatch
+            best = float((-values).min())
+            if prev_best - best < ftol * (abs(prev_best) + 1e-12):
+                break
+            prev_best = min(prev_best, best)
+    finally:
+        f_log.write("optimization finished after %.fs\n" % (time.time() - t0))
+        f_log.close()
+        with open(os.path.join(d, "finished"), "w") as f:
+            f.write("")
+    return np.asarray(carry["x"])

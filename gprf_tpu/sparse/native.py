@@ -73,6 +73,10 @@ def load_library() -> ctypes.CDLL:
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_double),
         ]
+        lib.sparse_chol_selected_inv.restype = None
+        lib.sparse_chol_selected_inv.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_double),
+        ]
         lib.sparse_chol_solve.restype = None
         lib.sparse_chol_solve.argtypes = [
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_double), ctypes.c_int,
@@ -169,6 +173,20 @@ class NativeCholesky:
         self._lib.sparse_chol_lmult(self._h, _dptr(Z), Z.shape[0])
         out = Z.T
         return out[:, 0] if one_d else out
+
+    def selected_inverse_lower(self):
+        """Entries of A^-1 on the lower-triangular pattern of L (Takahashi
+        recurrences), as scipy CSC aligned with the factor."""
+        import scipy.sparse
+
+        nnz = self.nnz()
+        Lp = np.empty(self.n + 1, dtype=np.int64)
+        Li = np.empty(nnz, dtype=np.int32)
+        Lx = np.empty(nnz, dtype=np.float64)
+        self._lib.sparse_chol_export(self._h, _i64ptr(Lp), _i32ptr(Li), _dptr(Lx))
+        Zx = np.empty(nnz, dtype=np.float64)
+        self._lib.sparse_chol_selected_inv(self._h, _dptr(Zx))
+        return scipy.sparse.csc_matrix((Zx, Li, Lp), shape=(self.n, self.n))
 
     def L(self):
         """Export L as scipy.sparse.csc_matrix."""

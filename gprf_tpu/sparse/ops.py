@@ -155,6 +155,18 @@ class SparseFactor:
     def L(self):
         return self._chol.L()
 
+    def selected_inverse(self):
+        """K^-1 on (a superset of) K's pattern, in the ORIGINAL ordering,
+        as a symmetric scipy CSR — the reference's ``factor.inv()`` analog
+        (gprf.py:424), exact on every entry the sparse gradient products
+        read."""
+        import scipy.sparse
+
+        Zl = self._chol.selected_inverse_lower()  # permuted lower pattern
+        Zsym = Zl + Zl.T - scipy.sparse.diags(Zl.diagonal())
+        # undo the RCM permutation
+        return Zsym[self.iperm][:, self.iperm].tocsr()
+
     def P(self):
         return self.perm
 

@@ -1,0 +1,62 @@
+"""On-device L-BFGS tests (CPU): convergence and driver protocol."""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+
+from gprf_tpu.kernels.gpcov import GPCov
+from gprf_tpu.model.fused import FusedGridGPRF
+from gprf_tpu.optim.device_lbfgs import do_optimization_fused, make_lbfgs_runner
+from gprf_tpu.partition.grid import Blocker, grid_centers
+
+
+def test_lbfgs_runner_quadratic():
+    A = jnp.diag(jnp.asarray([1.0, 10.0, 100.0]))
+    b = jnp.asarray([1.0, -2.0, 3.0])
+
+    def loss(x):
+        return 0.5 * x @ (A @ x) - b @ x
+
+    init_fn, run_fn = make_lbfgs_runner(loss, num_steps=30)
+    x = jnp.zeros(3)
+    state = init_fn(x)
+    x, state, (values, ls_steps, gnorms) = run_fn(x, state)
+    x_opt = np.linalg.solve(np.asarray(A), np.asarray(b))
+    np.testing.assert_allclose(np.asarray(x), x_opt, rtol=1e-4)
+    assert np.all(np.asarray(ls_steps) >= 1)
+    # values monotone-ish decreasing overall
+    v = np.asarray(values)
+    assert v[-1] < v[0]
+
+
+def test_device_lbfgs_gprf(tmp_path, rng):
+    n = 150
+    from gprf_tpu.kernels.hostnp import kernel_matrix_np
+
+    SX = rng.uniform(size=(n, 2))
+    cov = GPCov.create([1.0], [0.1, 0.1])
+    K = kernel_matrix_np(cov, SX, noise_var=0.01)
+    Y = np.linalg.cholesky(K) @ rng.standard_normal((n, 10))
+    obs_std = 0.02
+    X_obs = SX + rng.standard_normal(SX.shape) * obs_std
+    b = Blocker(grid_centers(9))
+    fused = FusedGridGPRF(
+        X_obs, Y, b.block_centers, b.neighbors(), X_obs, obs_std, cov, 0.01
+    )
+    d = str(tmp_path / "run")
+    os.makedirs(d)
+    x_final = do_optimization_fused(
+        d, fused, X_obs, maxsec=120, max_iters=60, steps_per_dispatch=15
+    )
+    # protocol files
+    assert os.path.exists(os.path.join(d, "finished"))
+    from gprf_tpu.optim.driver import load_log
+
+    steps, times, lls = load_log(d)
+    assert len(steps) >= 15
+    assert lls[-1] > lls[0]
+    # recovered latents closer to truth than the noisy observations
+    err0 = np.mean(np.linalg.norm(X_obs - SX, axis=1))
+    err1 = np.mean(np.linalg.norm(x_final.reshape(n, 2) - SX, axis=1))
+    assert err1 < err0

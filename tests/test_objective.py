@@ -248,3 +248,60 @@ def test_chunked_equals_unchunked(rng, chunk):
     assert np.isclose(ll, ll2, rtol=1e-12)
     np.testing.assert_allclose(gX, gX2, rtol=1e-10)
     np.testing.assert_allclose(gC, gC2, rtol=1e-10)
+
+
+def test_schur_pair_form_matches_joint(rng):
+    """The Schur-complement pair factorization must equal the joint 2m-wide
+    form exactly (f64)."""
+    import jax.numpy as jnp
+    from gprf_tpu.model.objective import GPRFParams, gprf_ll, gprf_ll_schur
+
+    X, Y, block_idxs, b, cov = _problem(rng)
+    neighbors = b.neighbors()
+    g = _mk_gprf(X, Y, block_idxs, cov, 0.01, neighbors)
+    arrays = g.layout.device_arrays()
+    params = GPRFParams(
+        X=jnp.asarray(X),
+        wfn_params=jnp.asarray(cov.wfn_params),
+        dfn_params=jnp.asarray(cov.dfn_params),
+        noise_var=jnp.asarray(0.01),
+    )
+    ll_joint = float(
+        gprf_ll(
+            params, jnp.asarray(Y), arrays["assignment"], arrays["mask"],
+            arrays["pair_assignment"], arrays["pair_mask"],
+            arrays["unary_weights"], arrays["pair_weights"],
+        )
+    )
+    ll_schur = float(
+        gprf_ll_schur(
+            params, jnp.asarray(Y), arrays["assignment"], arrays["mask"],
+            jnp.asarray(g.layout.edges), arrays["unary_weights"],
+            arrays["pair_weights"],
+        )
+    )
+    assert np.isclose(ll_schur, ll_joint, rtol=1e-12)
+
+    # gradients too
+    import jax
+
+    def f_schur(p):
+        return gprf_ll_schur(
+            p, jnp.asarray(Y), arrays["assignment"], arrays["mask"],
+            jnp.asarray(g.layout.edges), arrays["unary_weights"],
+            arrays["pair_weights"],
+        )
+
+    def f_joint(p):
+        return gprf_ll(
+            p, jnp.asarray(Y), arrays["assignment"], arrays["mask"],
+            arrays["pair_assignment"], arrays["pair_mask"],
+            arrays["unary_weights"], arrays["pair_weights"],
+        )
+
+    gs = jax.grad(f_schur)(params)
+    gj = jax.grad(f_joint)(params)
+    np.testing.assert_allclose(np.asarray(gs.X), np.asarray(gj.X), rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(gs.dfn_params), np.asarray(gj.dfn_params), rtol=1e-9
+    )
