@@ -45,6 +45,7 @@ def do_run(
     gplvm_type="gprf",
     num_inducing=-1,
     init_true=False,
+    engine="host",
 ):
     if rpc_blocksize == -1:
         centers = grid_centers(nblocks)
@@ -98,7 +99,21 @@ def do_run(
         raise ValueError("unrecognized task " + task)
 
     if not analyze_only:
-        if gplvm_type != "gprf":
+        if engine == "device":
+            if task != "x" or rpc_blocksize != -1 or gplvm_type != "gprf":
+                raise ValueError(
+                    "--engine=device currently supports task=x grid-partition GPRF runs"
+                )
+            from gprf_tpu.model.fused import FusedGridGPRF
+            from gprf_tpu.optim.device_lbfgs import do_optimization_fused
+
+            b_centers = np.asarray(centers)
+            fused = FusedGridGPRF(
+                X0, data.SY, b_centers, data.neighbors if local_dist < 1.0 else [],
+                data.X_obs, data.obs_std, gprf.cov, gprf.noise_var,
+            )
+            do_optimization_fused(d, fused, X0, maxsec=maxsec)
+        elif gplvm_type != "gprf":
             from gprf_tpu.model.sgplvm import do_sgplvm
 
             do_sgplvm(
@@ -191,6 +206,7 @@ def build_parser():
     parser.add_argument("--noise_var", dest="noise_var", default=0.01, type=float, help="variance of iid noise in synthetic Y")
     parser.add_argument("--gplvm_type", dest="gplvm_type", default="gprf", type=str, help="'gprf', or 'sparse'/'bayesian'/'basic' for the inducing-point GPLVM baseline")
     parser.add_argument("--num_inducing", dest="num_inducing", default=0, type=int, help="number of inducing points for sparse baselines")
+    parser.add_argument("--engine", dest="engine", default="host", choices=["host", "device"], help="host: scipy L-BFGS-B per-eval dispatch (reference semantics); device: fully on-device scan-L-BFGS loop (fast path; task=x grid runs)")
     return parser
 
 
@@ -221,6 +237,7 @@ def main(argv=None):
         gplvm_type=args.gplvm_type,
         num_inducing=args.num_inducing,
         init_true=args.init_true,
+        engine=args.engine,
     )
 
 

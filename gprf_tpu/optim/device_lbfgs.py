@@ -192,6 +192,27 @@ def make_lbfgs_runner(loss_fn, num_steps: int, memory_size: int = 10,
     return init_fn, run_fn
 
 
+def save_optimizer_state(d, carry, it: int):
+    """Checkpoint the full scan-L-BFGS carry (point, gradient, curvature
+    memory) so a run resumes mid-optimization with identical trajectory —
+    the resume analog of the reference's --init_x npy loading
+    (``run_seismic.py:322-323``) but including optimizer memory."""
+    flat = {k: np.asarray(v) for k, v in carry.items()}
+    flat["__iter__"] = np.asarray(it)
+    np.savez(os.path.join(d, "optimizer_state.npz"), **flat)
+
+
+def load_optimizer_state(d):
+    """(carry, it) from a saved optimizer checkpoint, or (None, 0)."""
+    path = os.path.join(d, "optimizer_state.npz")
+    if not os.path.exists(path):
+        return None, 0
+    z = np.load(path)
+    it = int(z["__iter__"])
+    carry = {k: jnp.asarray(z[k]) for k in z.files if k != "__iter__"}
+    return carry, it
+
+
 def do_optimization_fused(
     d,
     fused,
@@ -200,20 +221,27 @@ def do_optimization_fused(
     max_iters: int = 400,
     steps_per_dispatch: int = 20,
     ftol: float = 1e-6,
+    resume: bool = False,
 ):
     """Optimization driver over a :class:`~gprf_tpu.model.fused.FusedGridGPRF`
     loss with the reference file protocol (log.txt rows per L-BFGS
-    iteration, per-dispatch X checkpoints, ``finished`` marker).
+    iteration, per-dispatch X checkpoints, ``finished`` marker) plus full
+    optimizer-state checkpointing for resume.
 
     Returns the final flat X.
     """
     loss_fn = fused.loss_fn()
     init_fn, run_fn = make_scan_lbfgs_runner(loss_fn, steps_per_dispatch)
 
-    carry = init_fn(jnp.asarray(np.asarray(X0).reshape(-1), dtype=fused.Y.dtype))
-    f_log = open(os.path.join(d, "log.txt"), "w")
-    t0 = time.time()
     it = 0
+    carry = None
+    if resume:
+        carry, it = load_optimizer_state(d)
+    if carry is None:
+        carry = init_fn(jnp.asarray(np.asarray(X0).reshape(-1), dtype=fused.Y.dtype))
+        it = 0
+    f_log = open(os.path.join(d, "log.txt"), "a" if (resume and it) else "w")
+    t0 = time.time()
     prev_best = np.inf
     try:
         while it < max_iters and time.time() - t0 < maxsec:
@@ -223,6 +251,7 @@ def do_optimization_fused(
             if not np.all(np.isfinite(x_host)):
                 raise FloatingPointError("optimizer diverged to non-finite X")
             save_step(d, it + steps_per_dispatch, X=x_host.reshape(np.asarray(X0).shape))
+            save_optimizer_state(d, carry, it + steps_per_dispatch)
             now = time.time() - t0
             for k, v in enumerate(values):
                 # positive objective rows like the reference log (ll)

@@ -60,3 +60,33 @@ def test_device_lbfgs_gprf(tmp_path, rng):
     err0 = np.mean(np.linalg.norm(X_obs - SX, axis=1))
     err1 = np.mean(np.linalg.norm(x_final.reshape(n, 2) - SX, axis=1))
     assert err1 < err0
+
+
+def test_optimizer_state_resume(tmp_path, rng):
+    """Interrupted run resumes from the optimizer-state checkpoint with an
+    identical trajectory to an uninterrupted run."""
+    import jax.numpy as jnp
+
+    from gprf_tpu.optim.device_lbfgs import (
+        load_optimizer_state,
+        make_scan_lbfgs_runner,
+        save_optimizer_state,
+    )
+
+    A = jnp.asarray(np.diag([1.0, 5.0, 25.0]), dtype=jnp.float64)
+    b = jnp.asarray([1.0, -1.0, 2.0], dtype=jnp.float64)
+
+    def loss(x):
+        return 0.5 * x @ (A @ x) - b @ x
+
+    init_fn, run_fn = make_scan_lbfgs_runner(loss, num_steps=10)
+    c = init_fn(jnp.zeros(3, dtype=jnp.float64))
+    c1, _ = run_fn(c)
+    save_optimizer_state(str(tmp_path), c1, 10)
+    c_loaded, it = load_optimizer_state(str(tmp_path))
+    assert it == 10
+    c2_direct, _ = run_fn(c1)
+    c2_resumed, _ = run_fn(c_loaded)
+    np.testing.assert_allclose(
+        np.asarray(c2_direct["x"]), np.asarray(c2_resumed["x"]), rtol=1e-14
+    )

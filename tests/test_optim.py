@@ -108,3 +108,25 @@ def test_maxsec_abort(tmp_path, sdata):
     do_optimization(d, gprf, X0=sdata.X_obs, C0=None, sdata=sdata, maxsec=0)
     # aborts immediately but still writes the protocol files
     assert os.path.exists(os.path.join(d, "finished"))
+
+
+def test_do_run_device_engine(tmp_path, monkeypatch):
+    monkeypatch.setenv("GPRF_EXPERIMENTS", str(tmp_path / "exp"))
+    d = str(tmp_path / "run_dev")
+    os.makedirs(d)
+    do_run(
+        d,
+        lscale=0.3,
+        n=70,
+        ntrain=50,
+        nblocks=4,
+        yd=4,
+        seed=1,
+        local_dist=0.01,
+        maxsec=60,
+        task="x",
+        obs_std=0.03,
+        engine="device",
+    )
+    assert os.path.exists(os.path.join(d, "results.txt"))
+    assert os.path.exists(os.path.join(d, "optimizer_state.npz"))

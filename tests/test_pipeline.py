@@ -161,3 +161,18 @@ def test_fleet_generation(tmp_path):
     assert "gprf_tpu.cli.gprfopt" in txt
     assert "--ntrain=10000" in txt
     assert "--maxsec=18000" in txt
+
+
+def test_vis_points_renders(tmp_path, rng):
+    import pytest
+
+    pytest.importorskip("matplotlib")
+    from gprf_tpu.analysis.plots import vis_points
+
+    d = tmp_path / "run"
+    d.mkdir()
+    for step in range(2):
+        np.save(d / ("step_%05d_X.npy" % step), rng.uniform(size=(50, 2)))
+    written = vis_points(str(d), sdata=None, make_movie=False)
+    assert len(written) == 2
+    assert all(w.endswith(".png") for w in written)
