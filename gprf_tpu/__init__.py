@@ -19,6 +19,9 @@ from gprf_tpu.kernels.gpcov import GPCov
 from gprf_tpu.kernels.covfn import kernel_matrix, cross_kernel_matrix
 from gprf_tpu.partition.layout import BlockLayout
 from gprf_tpu.model.gprf import GPRF
+from gprf_tpu.model.objective import GPRFParams, gprf_ll, gprf_ll_schur, gprf_value_and_grad
+from gprf_tpu.model.fullgp import GP, mcov, prior_sample
+from gprf_tpu.model.fused import FusedGridGPRF
 
 __version__ = "0.1.0"
 
@@ -28,4 +31,12 @@ __all__ = [
     "cross_kernel_matrix",
     "BlockLayout",
     "GPRF",
+    "GPRFParams",
+    "gprf_ll",
+    "gprf_ll_schur",
+    "gprf_value_and_grad",
+    "GP",
+    "mcov",
+    "prior_sample",
+    "FusedGridGPRF",
 ]

@@ -139,3 +139,25 @@ def max_history(values):
         best = max(best, v)
         out.append(best)
     return np.asarray(out)
+
+
+def compare_seismic_runs(d1, d2, data_dir="."):
+    """Mean/median km distance between the final inferred locations of two
+    seismic runs (reference ``seismic/analyze_seismic.py``): loads the last
+    ``step_*_X.npy`` of each run dir and compares pointwise."""
+    import os as _os
+
+    from gprf_tpu.data.seismic import mad
+
+    def last_X(d):
+        fnames = sorted(
+            f for f in _os.listdir(d) if f.startswith("step") and f.endswith("_X.npy")
+        )
+        if not fnames:
+            raise FileNotFoundError(f"no step checkpoints in {d}")
+        return np.load(_os.path.join(d, fnames[-1]))
+
+    X1, X2 = last_X(d1), last_X(d2)
+    if len(X1) != len(X2):
+        raise ValueError("runs have different point counts")
+    return mad(X1, X2)

@@ -80,10 +80,11 @@ def fused_grid_objective(
     assignment, mask, overflow = assemble(jax.lax.stop_gradient(params.X))
     pair_weights = jnp.ones((edges.shape[0],), dtype=params.X.dtype)
 
-    if pair_mode == "schur":
+    if pair_mode.startswith("schur"):
         ll = gprf_ll_schur(
             params, Y, assignment, mask, edges, unary_weights, pair_weights,
             dfn_str=dfn_str, wfn_str=wfn_str,
+            use_pallas=(pair_mode == "schur_pallas"),
         )
     else:
         pair_assignment = jnp.concatenate(

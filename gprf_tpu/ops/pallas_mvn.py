@@ -1,0 +1,295 @@
+"""Pallas TPU kernels: batch-in-lanes Cholesky and Gaussian log-density.
+
+The GPRF hot loop factorizes hundreds of small (m <= ~256) SPD matrices per
+step.  XLA's batched Cholesky processes the *matrix* dimensions on the
+vector unit and leaves the batch to the outer loop, so the m sequential
+panel steps dominate wall time (measured ~0.1% of peak on v5e for
+[180, 272, 272]).  These kernels transpose the problem: matrices are laid
+out ``[m, m, T]`` with the *batch* in the 128-wide lane dimension, so every
+sequential step of the factorization is a full-width VPU operation over T
+matrices at once — the recurrence is sequential in m but embarrassingly
+parallel in the batch, which is exactly the hardware's vector axis.
+
+Structure: inputs stay in HBM (memory space ANY); the kernel loops over
+lane-tiles with explicit async DMA into one VMEM scratch (lane tiles must
+be 128 wide on TPU, and double-buffered pipeline blocks at [m, m, 128]
+would blow the ~16 MB VMEM budget for m ~ 136).
+
+Provided:
+  * :func:`batched_cholesky_pallas` — L for a batch of SPD matrices.
+  * :func:`batched_mvn_ll_pallas`   — masked Gaussian log-density
+    ``ll_b = -1/2 sum(Y K^-1 Y) - dy/2 logdet K - dy n_b/2 log 2pi`` per
+    block, with a custom VJP (the analytic *symmetrized* cotangent
+    ``0.5 (alpha alpha^T - dy K^-1)``; K is always a symmetric function of
+    the inputs, so end-to-end gradients match autodiff exactly).
+
+Correctness is pinned against ``jnp.linalg.cholesky`` / the masked-linalg
+reference in interpret mode (CPU) and on device.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_LOG_2PI = math.log(2.0 * math.pi)
+_LANES = 128
+
+# largest m whose [m, m, 128] f32 scratch (+ the MVN kernel's residual
+# buffer) fits comfortably in VMEM; larger matrices fall back to XLA
+MAX_M_CHOL = 168
+MAX_M_MVN = 144
+
+
+def pallas_supported(m: int, for_mvn: bool = False) -> bool:
+    return m <= (MAX_M_MVN if for_mvn else MAX_M_CHOL)
+
+
+def _chol_kernel(k_hbm, lt_hbm):
+    nb, m, _, T = k_hbm.shape
+
+    def body(scratch, sem_in, sem_out):
+        def tile(i, _):
+            cp_in = pltpu.make_async_copy(k_hbm.at[i], scratch, sem_in)
+            cp_in.start()
+            cp_in.wait()
+
+            def step(k, _):
+                akk = scratch[pl.ds(k, 1), pl.ds(k, 1), :]  # [1, 1, T]
+                dk_inv = jax.lax.rsqrt(jnp.maximum(akk, 1e-30))
+                row_k = scratch[pl.ds(k, 1), :, :]  # [1, m, T]
+                jidx = jax.lax.broadcasted_iota(jnp.int32, (1, m, T), 1)
+                col = jnp.where(jidx >= k, row_k * dk_inv, 0.0)
+                scratch[pl.ds(k, 1), :, :] = col  # L^T row k
+                colu = jnp.where(jidx > k, col, 0.0)
+                iidx = jax.lax.broadcasted_iota(jnp.int32, (m, 1, T), 0)
+                lcol = jnp.where(iidx > k, jnp.transpose(colu, (1, 0, 2)), 0.0)
+                # trailing update restricted to rows > k (rows <= k hold L^T)
+                scratch[:, :, :] = scratch[:, :, :] - lcol * colu
+                return 0
+
+            jax.lax.fori_loop(0, m, step, 0)
+            cp_out = pltpu.make_async_copy(scratch, lt_hbm.at[i], sem_out)
+            cp_out.start()
+            cp_out.wait()
+            return 0
+
+        jax.lax.fori_loop(0, nb, tile, 0)
+
+    pl.run_scoped(
+        body,
+        scratch=pltpu.VMEM((m, m, T), k_hbm.dtype),
+        sem_in=pltpu.SemaphoreType.DMA,
+        sem_out=pltpu.SemaphoreType.DMA,
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def batched_cholesky_pallas(K, interpret: bool = False):
+    """Lower Cholesky factors of a batch of SPD matrices [B, m, m].
+
+    Returns L with L @ L.T == K (zero above the diagonal).  The batch is
+    tiled into the 128-wide lane dimension; B pads up to the tile.
+    """
+    B, m, _ = K.shape
+    if m > MAX_M_CHOL:
+        return jnp.linalg.cholesky(K)  # VMEM-bound: fall back to XLA
+    T = _LANES
+    nb = (B + T - 1) // T
+    padB = nb * T
+    Kp = jnp.concatenate(
+        [K, jnp.broadcast_to(jnp.eye(m, dtype=K.dtype), (padB - B, m, m))], axis=0
+    )
+    Kl = jnp.transpose(Kp.reshape(nb, T, m, m), (0, 2, 3, 1))
+
+    lt = pl.pallas_call(
+        _chol_kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=jax.ShapeDtypeStruct((nb, m, m, T), K.dtype),
+        interpret=interpret,
+    )(Kl)
+    Lt = jnp.transpose(lt, (0, 3, 1, 2)).reshape(padB, m, m)[:B]
+    return jnp.transpose(Lt, (0, 2, 1))
+
+
+def _chol_fwd(K, interpret):
+    L = batched_cholesky_pallas(K, interpret)
+    return L, L
+
+
+def _chol_bwd(interpret, L, dL):
+    """Standard Cholesky pullback (the same symmetric-output formula XLA
+    uses): with P = phi(L^T dL) (lower triangle, halved diagonal),
+    dK = L^-T (P + P^T)/2 L^-1 symmetrized."""
+    m = L.shape[-1]
+    with jax.default_matmul_precision("highest"):
+        P = jnp.einsum("bki,bkj->bij", L, dL)
+        tril = jnp.tril(jnp.ones((m, m), dtype=L.dtype))
+        phi = P * tril - 0.5 * jnp.eye(m, dtype=L.dtype) * P
+        sym = 0.5 * (phi + jnp.swapaxes(phi, -1, -2))
+
+        def solve_both(Lb, Sb):
+            tmp = jax.scipy.linalg.solve_triangular(Lb, Sb, lower=True, trans=1)
+            return jax.scipy.linalg.solve_triangular(
+                Lb, tmp.T, lower=True, trans=1
+            ).T
+
+        dK = jax.vmap(solve_both)(L, sym)
+        dK = 0.5 * (dK + jnp.swapaxes(dK, -1, -2))
+    return (dK,)
+
+
+batched_cholesky_pallas.defvjp(_chol_fwd, _chol_bwd)
+
+
+def _mvn_kernel(k_hbm, y_hbm, nact_hbm, ll_hbm, lt_hbm):
+    nb, m, _, T = k_hbm.shape
+    dy = y_hbm.shape[2]
+
+    def body(a_scr, z_scr, n_scr, ll_scr, sem_a, sem_z, sem_n, sem_ll, sem_lt):
+        def tile(i, _):
+            cp_a = pltpu.make_async_copy(k_hbm.at[i], a_scr, sem_a)
+            cp_z = pltpu.make_async_copy(y_hbm.at[i], z_scr, sem_z)
+            cp_n = pltpu.make_async_copy(nact_hbm.at[i], n_scr, sem_n)
+            cp_a.start()
+            cp_z.start()
+            cp_n.start()
+            cp_a.wait()
+            cp_z.wait()
+            cp_n.wait()
+
+            def step(k, logdet):
+                akk = a_scr[pl.ds(k, 1), pl.ds(k, 1), :]
+                dk_inv = jax.lax.rsqrt(jnp.maximum(akk, 1e-30))
+                logdet = logdet + jnp.log(jnp.maximum(akk[0], 1e-30))
+                row_k = a_scr[pl.ds(k, 1), :, :]
+                jidx = jax.lax.broadcasted_iota(jnp.int32, (1, m, T), 1)
+                col = jnp.where(jidx >= k, row_k * dk_inv, 0.0)
+                a_scr[pl.ds(k, 1), :, :] = col
+                colu = jnp.where(jidx > k, col, 0.0)
+                iidx = jax.lax.broadcasted_iota(jnp.int32, (m, 1, T), 0)
+                lcol = jnp.where(iidx > k, jnp.transpose(colu, (1, 0, 2)), 0.0)
+                a_scr[:, :, :] = a_scr[:, :, :] - lcol * colu
+                # forward substitution: z_k = R_k / L_kk; R -= l_col z_k
+                zk = z_scr[pl.ds(k, 1), :, :] * dk_inv[:, 0:1, :]  # [1, dy, T]
+                z_scr[pl.ds(k, 1), :, :] = zk
+                z_scr[:, :, :] = z_scr[:, :, :] - lcol * zk
+                return logdet
+
+            logdet = jax.lax.fori_loop(
+                0, m, step, jnp.zeros((1, T), dtype=k_hbm.dtype)
+            )
+            quad = jnp.sum(z_scr[:, :, :] * z_scr[:, :, :], axis=(0, 1))  # [T]
+            nact = n_scr[0, :]
+            ll_scr[0, :] = (
+                -0.5 * quad - 0.5 * dy * logdet[0] - 0.5 * dy * nact * _LOG_2PI
+            )
+            cp_ll = pltpu.make_async_copy(ll_scr, ll_hbm.at[i], sem_ll)
+            cp_lt = pltpu.make_async_copy(a_scr, lt_hbm.at[i], sem_lt)
+            cp_ll.start()
+            cp_lt.start()
+            cp_ll.wait()
+            cp_lt.wait()
+            return 0
+
+        jax.lax.fori_loop(0, nb, tile, 0)
+
+    pl.run_scoped(
+        body,
+        a_scr=pltpu.VMEM((m, m, T), k_hbm.dtype),
+        z_scr=pltpu.VMEM((m, dy, T), k_hbm.dtype),
+        n_scr=pltpu.VMEM((1, T), k_hbm.dtype),
+        ll_scr=pltpu.VMEM((1, T), k_hbm.dtype),
+        sem_a=pltpu.SemaphoreType.DMA,
+        sem_z=pltpu.SemaphoreType.DMA,
+        sem_n=pltpu.SemaphoreType.DMA,
+        sem_ll=pltpu.SemaphoreType.DMA,
+        sem_lt=pltpu.SemaphoreType.DMA,
+    )
+
+
+def _mvn_forward(Kp, Ym, n_active, interpret=False):
+    """(ll [B], lt [nb, m, m, T]) via the Pallas kernel.  Kp must be
+    padded-masked (identity rows/cols outside the mask), Ym zeroed
+    outside."""
+    B, m, _ = Kp.shape
+    dy = Ym.shape[2]
+    T = _LANES
+    nb = (B + T - 1) // T
+    padB = nb * T
+    Kx = jnp.concatenate(
+        [Kp, jnp.broadcast_to(jnp.eye(m, dtype=Kp.dtype), (padB - B, m, m))], axis=0
+    )
+    Yx = jnp.concatenate([Ym, jnp.zeros((padB - B, m, dy), Ym.dtype)], axis=0)
+    nx = jnp.concatenate(
+        [n_active.astype(Kp.dtype), jnp.zeros((padB - B,), Kp.dtype)]
+    )
+    Kl = jnp.transpose(Kx.reshape(nb, T, m, m), (0, 2, 3, 1))
+    Yl = jnp.transpose(Yx.reshape(nb, T, m, dy), (0, 2, 3, 1))
+    nl = nx.reshape(nb, 1, T)
+
+    ll, lt = pl.pallas_call(
+        _mvn_kernel,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((nb, 1, T), Kp.dtype),
+            jax.ShapeDtypeStruct((nb, m, m, T), Kp.dtype),
+        ),
+        interpret=interpret,
+    )(Kl, Yl, nl)
+    return ll.reshape(padB)[:B], lt
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def batched_mvn_ll_pallas(Kp, Ym, n_active, interpret=False):
+    """Per-block masked Gaussian log-density [B] from padded-masked kernel
+    matrices [B, m, m], zero-padded observations [B, m, dy], and active
+    counts [B].  Same semantics as vmapped
+    :func:`gprf_tpu.linalg.masked.masked_gaussian_ll`."""
+    ll, _ = _mvn_forward(Kp, Ym, n_active, interpret=interpret)
+    return ll
+
+
+def _mvn_fwd(Kp, Ym, n_active, interpret):
+    ll, lt = _mvn_forward(Kp, Ym, n_active, interpret=interpret)
+    B, m, _ = Kp.shape
+    padB = lt.shape[0] * _LANES
+    Lt = jnp.transpose(lt, (0, 3, 1, 2)).reshape(padB, m, m)[:B]
+    L = jnp.transpose(Lt, (0, 2, 1))
+    return ll, (L, Ym)
+
+
+def _mvn_bwd(interpret, res, g):
+    """Analytic symmetrized cotangents, reusing the forward factor:
+    dK = g * 0.5 (alpha alpha^T - dy K^-1),  dY = -g * alpha."""
+    L, Ym = res
+    dy = Ym.shape[2]
+    alpha = jax.scipy.linalg.cho_solve((L, True), Ym)
+
+    def kinv(Lb):
+        eye = jnp.eye(Lb.shape[-1], dtype=Lb.dtype)
+        return jax.scipy.linalg.cho_solve((Lb, True), eye)
+
+    Kinv = jax.vmap(kinv)(L)
+    gb = g[:, None, None]
+    dK = gb * 0.5 * (jnp.einsum("bik,bjk->bij", alpha, alpha) - dy * Kinv)
+    dYm = -gb * alpha
+    d_nact = -0.5 * dy * _LOG_2PI * g
+    return dK, dYm, d_nact
+
+
+batched_mvn_ll_pallas.defvjp(_mvn_fwd, _mvn_bwd)

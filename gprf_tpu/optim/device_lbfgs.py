@@ -250,7 +250,9 @@ def do_optimization_fused(
             x_host = np.asarray(carry["x"])
             if not np.all(np.isfinite(x_host)):
                 raise FloatingPointError("optimizer diverged to non-finite X")
-            save_step(d, it + steps_per_dispatch, X=x_host.reshape(np.asarray(X0).shape))
+            # checkpoint index = last logged row of this dispatch, so the
+            # analyzer finds an X for the final step
+            save_step(d, it + steps_per_dispatch - 1, X=x_host.reshape(np.asarray(X0).shape))
             save_optimizer_state(d, carry, it + steps_per_dispatch)
             now = time.time() - t0
             for k, v in enumerate(values):

@@ -305,3 +305,45 @@ def test_schur_pair_form_matches_joint(rng):
     np.testing.assert_allclose(
         np.asarray(gs.dfn_params), np.asarray(gj.dfn_params), rtol=1e-9
     )
+
+
+def test_schur_pallas_matches_schur(rng):
+    """schur with the Pallas Cholesky backend (interpret via CPU lowering is
+    exercised in test_pallas_ops; here the two backends must agree through
+    the full objective)."""
+    import jax.numpy as jnp
+    from gprf_tpu.model.objective import GPRFParams, gprf_ll_schur
+
+    X, Y, block_idxs, b, cov = _problem(rng, n=30, nblocks=4)
+    neighbors = b.neighbors()
+    g = _mk_gprf(X, Y, block_idxs, cov, 0.01, neighbors)
+    arrays = g.layout.device_arrays()
+    params = GPRFParams(
+        X=jnp.asarray(X, dtype=jnp.float32),
+        wfn_params=jnp.asarray(cov.wfn_params, dtype=jnp.float32),
+        dfn_params=jnp.asarray(cov.dfn_params, dtype=jnp.float32),
+        noise_var=jnp.asarray(0.01, dtype=jnp.float32),
+    )
+    Y32 = jnp.asarray(Y, dtype=jnp.float32)
+    edges = jnp.asarray(g.layout.edges)
+    uw = jnp.asarray(arrays["unary_weights"], dtype=jnp.float32)
+    pw = jnp.asarray(arrays["pair_weights"], dtype=jnp.float32)
+    kw = dict(dfn_str="euclidean", wfn_str="se")
+    ll_x = float(gprf_ll_schur(params, Y32, arrays["assignment"], arrays["mask"], edges, uw, pw, **kw))
+    # interpret=True path can't thread through the static arg here; on CPU the
+    # Pallas call runs via the CPU lowering path when interpret is set inside.
+    # Compare pallas backend in interpret mode by monkeypatching:
+    import gprf_tpu.ops.pallas_mvn as pm
+    orig = pm.batched_cholesky_pallas
+    try:
+        pm_interp = lambda K, interpret=False: orig(K, True)
+        pm.batched_cholesky_pallas = pm_interp
+        ll_p = float(
+            gprf_ll_schur(
+                params, Y32, arrays["assignment"], arrays["mask"], edges, uw, pw,
+                use_pallas=True, **kw,
+            )
+        )
+    finally:
+        pm.batched_cholesky_pallas = orig
+    assert np.isclose(ll_p, ll_x, rtol=1e-5)
