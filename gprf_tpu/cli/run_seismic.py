@@ -16,7 +16,6 @@ import os
 
 import numpy as np
 
-from gprf_tpu.data.sampled import exp_base_dir
 from gprf_tpu.data.seismic import (
     COL_DEPTH,
     COL_LAT,
@@ -99,7 +98,7 @@ def build_parser():
     parser.add_argument("--synth_lscale", dest="synth_lscale", default=40.0, type=float, help="Matern lengthscale (km) for generating Y values")
     parser.add_argument("--seed", dest="seed", default=0, type=int, help="seed for sampling")
     parser.add_argument("--maxsec", dest="maxsec", default=3600, type=int, help="maximum seconds of inference")
-    parser.add_argument("--sparse", dest="sparse", default=False, action="store_true", help="use sparse per-block linear algebra (accepted for parity; dense masked path covers reference scales)")
+    parser.add_argument("--sparse", dest="sparse", default=False, action="store_true", help="truncated-support sparse per-block linear algebra (native sparse Cholesky + selected inverse); NOT inducing-point sparsity (False)")
     parser.add_argument("--analyze", dest="analyze", default=False, action="store_true", help="only generate results from saved state")
     parser.add_argument("--rpc_blocksize", dest="rpc_blocksize", default=300, type=int, help="max points per PD-tree block")
     parser.add_argument("--init_cov", dest="init_cov", default="", type=str, help="initialize cov params from .npy")

@@ -134,28 +134,47 @@ def _schur_ll(
         unary_ll = -0.5 * quads - 0.5 * dy * logdets - 0.5 * dy * nbs * _LOG2PI
         total = jnp.sum(unary_weights * unary_ll)
 
-        if edges.shape[0] == 0:
+        E = edges.shape[0]
+        if E == 0:
             return total
 
         # ---- pair pass: Schur complement against the i-side factors
-        ei = edges[:, 0]
-        ej = edges[:, 1]
-        Kij = jax.vmap(lambda xi, xj: cross_kernel_matrix(cov, xi, xj))(
-            Xb[ei], Xb[ej]
+        def pair_batch(edges_c, pw_c):
+            ei = edges_c[:, 0]
+            ej = edges_c[:, 1]
+            Kij = jax.vmap(lambda xi, xj: cross_kernel_matrix(cov, xi, xj))(
+                Xb[ei], Xb[ej]
+            )
+            Kij = Kij * (maskf[ei][:, :, None] * maskf[ej][:, None, :])
+            Bm = tri_solve(Ls[ei], Kij)
+            S = Kp[ej] - jnp.einsum("eki,ekj->eij", Bm, Bm)
+            Lsc = chol(S)
+            rhs = Ym[ej] - jnp.einsum("eki,ekd->eid", Bm, Zs[ei])
+            z2 = tri_solve(Lsc, rhs)
+            quadp = quads[ei] + jnp.sum(z2 * z2, axis=(1, 2))
+            logdetp = logdets[ei] + 2.0 * jnp.sum(
+                jnp.log(jnp.diagonal(Lsc, axis1=1, axis2=2)), axis=1
+            )
+            nbp = nbs[ei] + jnp.sum(maskf[ej], axis=1)
+            pair_ll = -0.5 * quadp - 0.5 * dy * logdetp - 0.5 * dy * nbp * _LOG2PI
+            return jnp.sum(pw_c * pair_ll)
+
+        if pair_chunk is None or E <= pair_chunk:
+            return total + pair_batch(edges, pair_weights)
+        # bound peak memory at [chunk, m, m]: pad the edge batch with
+        # zero-weight dummy edges and scan remat'd chunks
+        nch = (E + pair_chunk - 1) // pair_chunk
+        padE = nch * pair_chunk
+        edges_p = jnp.concatenate(
+            [edges, jnp.zeros((padE - E, 2), dtype=edges.dtype)], axis=0
+        ).reshape(nch, pair_chunk, 2)
+        pw_p = jnp.concatenate(
+            [pair_weights, jnp.zeros((padE - E,), dtype=pair_weights.dtype)]
+        ).reshape(nch, pair_chunk)
+        sums = jax.lax.map(
+            jax.checkpoint(lambda args: pair_batch(*args)), (edges_p, pw_p)
         )
-        Kij = Kij * (maskf[ei][:, :, None] * maskf[ej][:, None, :])
-        Bm = tri_solve(Ls[ei], Kij)
-        S = Kp[ej] - jnp.einsum("eki,ekj->eij", Bm, Bm)
-        Lsc = chol(S)
-        rhs = Ym[ej] - jnp.einsum("eki,ekd->eid", Bm, Zs[ei])
-        z2 = tri_solve(Lsc, rhs)
-        quadp = quads[ei] + jnp.sum(z2 * z2, axis=(1, 2))
-        logdetp = logdets[ei] + 2.0 * jnp.sum(
-            jnp.log(jnp.diagonal(Lsc, axis1=1, axis2=2)), axis=1
-        )
-        nbp = nbs[ei] + jnp.sum(maskf[ej], axis=1)
-        pair_ll = -0.5 * quadp - 0.5 * dy * logdetp - 0.5 * dy * nbp * _LOG2PI
-        return total + jnp.sum(pair_weights * pair_ll)
+        return total + jnp.sum(sums)
 
 
 @functools.partial(

@@ -14,7 +14,6 @@ continuous run.
 
 from __future__ import annotations
 
-import functools
 import os
 import time
 

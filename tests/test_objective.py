@@ -347,3 +347,23 @@ def test_schur_pallas_matches_schur(rng):
     finally:
         pm.batched_cholesky_pallas = orig
     assert np.isclose(ll_p, ll_x, rtol=1e-5)
+
+
+def test_schur_pair_chunking_matches(rng):
+    import jax.numpy as jnp
+    from gprf_tpu.model.objective import GPRFParams, gprf_ll_schur
+
+    X, Y, block_idxs, b, cov = _problem(rng)
+    neighbors = b.neighbors()
+    g = _mk_gprf(X, Y, block_idxs, cov, 0.01, neighbors)
+    arrays = g.layout.device_arrays()
+    params = GPRFParams(
+        X=jnp.asarray(X), wfn_params=jnp.asarray(cov.wfn_params),
+        dfn_params=jnp.asarray(cov.dfn_params), noise_var=jnp.asarray(0.01),
+    )
+    args = (params, jnp.asarray(Y), arrays["assignment"], arrays["mask"],
+            jnp.asarray(g.layout.edges), arrays["unary_weights"],
+            arrays["pair_weights"])
+    ll_full = float(gprf_ll_schur(*args))
+    ll_chunked = float(gprf_ll_schur(*args, pair_chunk=3))
+    assert np.isclose(ll_full, ll_chunked, rtol=1e-12)
