@@ -63,6 +63,7 @@ class GPRF:
         noise_var,
         kernelized: bool = False,
         dy: int | None = None,
+        nonstationary: bool = False,
         neighbor_threshold: float = 1e-3,
         block_idxs=None,
         neighbors=None,
@@ -70,6 +71,14 @@ class GPRF:
         unary_chunk: int | None = None,
         pair_chunk: int | None = None,
     ):
+        if nonstationary:
+            # the reference's nonstationary paths reference never-assigned
+            # state (gprf.py:649-650, 279-284) — dead upstream, rejected here
+            raise NotImplementedError(
+                "nonstationary GPRF is an incomplete feature in the reference "
+                "implementation and is not supported"
+            )
+        self.nonstationary = False
         self.X = np.asarray(X, dtype=np.float64).copy()
         self.kernelized = kernelized
         if kernelized:
@@ -346,10 +355,9 @@ class GPRF:
         def term(idxs):
             return gaussian_llgrad_sparse(
                 self.X[idxs], self.Y[idxs], self.cov, self.noise_var,
-                grad_X=grad_X_flag, grad_cov=grad_cov, max_distance=max_distance,
+                grad_X=grad_X, grad_cov=grad_cov, max_distance=max_distance,
             )
 
-        grad_X_flag = grad_X
         for b, idxs in enumerate(blocks):
             w = 1 - counts.get(b, 0)
             tll, tgX, tgC = term(idxs)

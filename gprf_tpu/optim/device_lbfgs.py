@@ -2,14 +2,16 @@
 
 The reference (and our scipy-bridge driver) pays a host<->device round trip
 per objective evaluation; on a tunneled TPU that transport costs more than
-the computation.  Here the complete L-BFGS iteration — zoom line search
-(each trial point is one objective+gradient evaluation, exactly what the
-reference's log counts), two-loop recursion, parameter update — runs as a
-``lax.scan`` of optax's ``lbfgs`` transform, so S iterations cost one
-dispatch.  Optimizer state (L-BFGS memory, line-search cache) round-trips
-between dispatches as a pytree, so logging/checkpointing granularity is
-per-dispatch while the optimization semantics are identical to a single
-continuous run.
+the computation.  Here S L-BFGS iterations run as one ``lax.scan`` dispatch,
+with optimizer state (curvature memory, step scale) round-tripping between
+dispatches as a pytree — logging/checkpointing is per-dispatch while the
+optimization is one continuous run.
+
+Two runners are provided: :func:`make_scan_lbfgs_runner` (the default —
+scan-only, retrospective Armijo, exactly one evaluation per iteration; see
+its docstring for why classic line searches are pathological on this
+backend) and :func:`make_lbfgs_runner` (optax's lbfgs with zoom line
+search, kept as the textbook reference implementation).
 """
 
 from __future__ import annotations
@@ -229,8 +231,7 @@ def do_optimization_fused(
 
     Returns the final flat X.
     """
-    loss_fn = fused.loss_fn()
-    init_fn, run_fn = make_scan_lbfgs_runner(loss_fn, steps_per_dispatch)
+    init_fn, run_fn = make_scan_lbfgs_runner(fused.loss_fn(), steps_per_dispatch)
 
     it = 0
     carry = None
@@ -249,6 +250,16 @@ def do_optimization_fused(
             x_host = np.asarray(carry["x"])
             if not np.all(np.isfinite(x_host)):
                 raise FloatingPointError("optimizer diverged to non-finite X")
+            if not fused.check_capacity(x_host):
+                # a block outgrew the padded slot count: grow, recompile the
+                # loss at the new capacity, restart the optimizer memory
+                # from the current point (membership drift is rare and slow,
+                # so this is a cold recompile, not a hot-loop cost)
+                fused.grow_capacity()
+                init_fn, run_fn = make_scan_lbfgs_runner(
+                    fused.loss_fn(), steps_per_dispatch
+                )
+                carry = init_fn(jnp.asarray(x_host, dtype=fused.Y.dtype))
             # checkpoint index = last logged row of this dispatch, so the
             # analyzer finds an X for the final step
             save_step(d, it + steps_per_dispatch - 1, X=x_host.reshape(np.asarray(X0).shape))

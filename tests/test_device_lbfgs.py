@@ -90,3 +90,32 @@ def test_optimizer_state_resume(tmp_path, rng):
     np.testing.assert_allclose(
         np.asarray(c2_direct["x"]), np.asarray(c2_resumed["x"]), rtol=1e-14
     )
+
+
+def test_fused_driver_capacity_growth(tmp_path, rng):
+    """If optimization drives points across block boundaries past capacity,
+    the driver grows m and continues rather than silently dropping points."""
+    import os
+
+    from gprf_tpu.kernels.gpcov import GPCov
+    from gprf_tpu.model.fused import FusedGridGPRF
+    from gprf_tpu.optim.device_lbfgs import do_optimization_fused
+    from gprf_tpu.partition.grid import Blocker, grid_centers
+
+    n = 80
+    SX = rng.uniform(size=(n, 2))
+    cov = GPCov.create([1.0], [0.15, 0.15])
+    Y = rng.normal(size=(n, 4))
+    obs_std = 0.02
+    # X_obs (the prior mean) squashed into a corner so the optimizer pulls
+    # points across block boundaries and overflows the initial capacity
+    X0 = SX
+    X_target = SX * 0.2
+    b = Blocker(grid_centers(4))
+    fused = FusedGridGPRF(X0, Y, b.block_centers, b.neighbors(), X_target, obs_std, cov, 0.01)
+    m0 = fused.m
+    d = str(tmp_path / "grow")
+    os.makedirs(d)
+    do_optimization_fused(d, fused, X0, maxsec=60, max_iters=45, steps_per_dispatch=15)
+    assert fused.m > m0  # capacity grew
+    assert os.path.exists(os.path.join(d, "finished"))

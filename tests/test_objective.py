@@ -367,3 +367,9 @@ def test_schur_pair_chunking_matches(rng):
     ll_full = float(gprf_ll_schur(*args))
     ll_chunked = float(gprf_ll_schur(*args, pair_chunk=3))
     assert np.isclose(ll_full, ll_chunked, rtol=1e-12)
+
+
+def test_nonstationary_rejected(rng):
+    X, Y, block_idxs, _, cov = _problem(rng, n=20)
+    with pytest.raises(NotImplementedError):
+        GPRF(X, Y, None, cov, 0.01, nonstationary=True, block_idxs=block_idxs, neighbors=[])
