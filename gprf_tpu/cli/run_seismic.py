@@ -106,6 +106,7 @@ def build_parser():
     parser.add_argument("--task", dest="task", default="xcov", type=str, help="'x', 'cov', or 'xcov'")
     parser.add_argument("--parallel", dest="parallel", default=False, action="store_true", help="accepted for parity; the TPU path always batches")
     parser.add_argument("--data_dir", dest="data_dir", default=".", type=str, help="directory holding sorted_isc.npy / cached Y")
+    parser.add_argument("--engine", dest="engine", default="host", choices=["host", "device"], help="host: scipy L-BFGS-B per-eval dispatch (reference semantics); device: fully on-device scan-L-BFGS loop")
     return parser
 
 
@@ -181,17 +182,32 @@ def main(argv=None):
         X0 = None
 
     if not args.analyze:
-        do_optimization_seismic(
-            d,
-            gprf,
-            X0,
-            C0,
-            seismic_cov_prior,
-            x_prior,
-            maxsec=args.maxsec,
-            parallel=args.parallel,
-            sparse=args.sparse,
-        )
+        if args.engine == "device":
+            from gprf_tpu.model.fused_seismic import FusedSeismicGPRF
+            from gprf_tpu.optim.device_lbfgs import do_optimization_fused_seismic
+            from gprf_tpu.partition.pdtree import PDTree, wrap_lon
+
+            X2 = means[:, :2].copy()
+            X2[:, 0] = wrap_lon(X2[:, 0])
+            tree = PDTree(X2, minsize=args.rpc_blocksize)
+            fused = FusedSeismicGPRF(
+                means, SY, tree, gprf.neighbors, means, prior_std, cov, nv,
+                task=args.task,
+            )
+            theta0 = fused.theta0(X0 if X0 is not None else means, C0)
+            do_optimization_fused_seismic(d, fused, theta0, maxsec=args.maxsec)
+        else:
+            do_optimization_seismic(
+                d,
+                gprf,
+                X0,
+                C0,
+                seismic_cov_prior,
+                x_prior,
+                maxsec=args.maxsec,
+                parallel=args.parallel,
+                sparse=args.sparse,
+            )
 
     if args.task in ("x", "xcov"):
         analyze_run_result(args, gprf, x_prior, X_true, cov_true, args.synth_lscale)

@@ -280,3 +280,69 @@ def do_optimization_fused(
         with open(os.path.join(d, "finished"), "w") as f:
             f.write("")
     return np.asarray(carry["x"])
+
+
+def do_optimization_fused_seismic(
+    d,
+    fused,
+    theta0,
+    maxsec: float = 3600,
+    max_iters: int = 600,
+    steps_per_dispatch: int = 20,
+    ftol: float = 1e-6,
+    resume: bool = False,
+):
+    """Seismic device-loop driver over a
+    :class:`~gprf_tpu.model.fused_seismic.FusedSeismicGPRF`: the reference
+    file protocol (log.txt, step X/cov checkpoints via the theta unpacking,
+    covs.txt for hyperparameter trajectories, finished marker) around the
+    scan-L-BFGS loop."""
+    init_fn, run_fn = make_scan_lbfgs_runner(fused.loss_fn(), steps_per_dispatch)
+
+    it = 0
+    carry = None
+    if resume:
+        carry, it = load_optimizer_state(d)
+    if carry is None:
+        carry = init_fn(jnp.asarray(np.asarray(theta0), dtype=fused.dtype))
+        it = 0
+    f_log = open(os.path.join(d, "log.txt"), "a" if (resume and it) else "w")
+    covf = open(os.path.join(d, "covs.txt"), "a" if (resume and it) else "w")
+    t0 = time.time()
+    prev_best = np.inf
+    try:
+        while it < max_iters and time.time() - t0 < maxsec:
+            carry, (values, accepted, gnorms) = run_fn(carry)
+            values = -np.asarray(values)
+            theta_host = np.asarray(carry["x"], dtype=np.float64)
+            if not np.all(np.isfinite(theta_host)):
+                raise FloatingPointError("optimizer diverged to non-finite state")
+            if not fused.check_capacity(theta_host):
+                fused.grow_capacity()
+                init_fn, run_fn = make_scan_lbfgs_runner(
+                    fused.loss_fn(), steps_per_dispatch
+                )
+                carry = init_fn(jnp.asarray(theta_host, dtype=fused.dtype))
+            X, FC = fused.unpack_host(theta_host)
+            step_idx = it + steps_per_dispatch - 1
+            save_step(d, step_idx, X=X, FC=FC)
+            save_optimizer_state(d, carry, it + steps_per_dispatch)
+            now = time.time() - t0
+            for k, v in enumerate(values):
+                f_log.write("%d %.2f %.2f\n" % (it + k, now, float(v)))
+            f_log.flush()
+            if FC is not None:
+                covf.write("%d %s\n" % (step_idx, FC))
+                covf.flush()
+            it += steps_per_dispatch
+            best = float((-values).min())
+            if prev_best - best < ftol * (abs(prev_best) + 1e-12):
+                break
+            prev_best = min(prev_best, best)
+    finally:
+        f_log.write("optimization finished after %.fs\n" % (time.time() - t0))
+        f_log.close()
+        covf.close()
+        with open(os.path.join(d, "finished"), "w") as f:
+            f.write("")
+    return np.asarray(carry["x"])
