@@ -106,3 +106,33 @@ def test_do_sgplvm_driver(tmp_path, monkeypatch, rng):
     assert len(steps) >= 3
     assert lls[-1] > lls[0]
     assert os.path.exists(os.path.join(d, "step_%05d_IX.npy" % steps[-1]))
+
+
+def test_prediction_error_gp_smoke(tmp_path, monkeypatch, rng):
+    from gprf_tpu.data.sampled import SampledData
+
+    monkeypatch.setenv("GPRF_EXPERIMENTS", str(tmp_path / "exp"))
+    sd = SampledData(n=50, ntrain=40, lscale=0.3, obs_std=0.03, yd=3, seed=1)
+    ll_true = sd.prediction_error_gp(sd.SX.flatten())
+    ll_obs = sd.prediction_error_gp(sd.X_obs.flatten())
+    assert np.isfinite(ll_true) and np.isfinite(ll_obs)
+    # test ll at the true latents should beat the noisy ones
+    assert ll_true > ll_obs
+
+
+def test_do_sgplvm_bayesian_and_basic(tmp_path, monkeypatch, rng):
+    from gprf_tpu.data.sampled import SampledData
+    from gprf_tpu.model.sgplvm import do_sgplvm
+    from gprf_tpu.optim.driver import load_log
+    from gprf_tpu.partition.grid import grid_centers
+
+    monkeypatch.setenv("GPRF_EXPERIMENTS", str(tmp_path / "exp"))
+    sd = SampledData(n=50, ntrain=40, lscale=0.3, obs_std=0.03, yd=3, seed=1)
+    sd.set_centers(grid_centers(4))
+    for i, gtype in enumerate(["bayesian", "basic"]):
+        d = str(tmp_path / gtype)
+        os.makedirs(d)
+        do_sgplvm(d, sd.X_obs, None, sd, maxsec=30, gplvm_type=gtype, num_inducing=10)
+        steps, times, lls = load_log(d)
+        assert len(steps) >= 2
+        assert lls[-1] >= lls[0]

@@ -130,3 +130,32 @@ def test_do_run_device_engine(tmp_path, monkeypatch):
     )
     assert os.path.exists(os.path.join(d, "results.txt"))
     assert os.path.exists(os.path.join(d, "optimizer_state.npz"))
+
+
+def test_do_run_task_xcov(tmp_path, monkeypatch):
+    monkeypatch.setenv("GPRF_EXPERIMENTS", str(tmp_path / "exp"))
+    d = str(tmp_path / "run_xcov")
+    os.makedirs(d)
+    do_run(
+        d, lscale=0.3, n=60, ntrain=45, nblocks=4, yd=4, seed=1,
+        local_dist=0.01, maxsec=25, task="xcov", obs_std=0.03,
+    )
+    import numpy as _np
+
+    steps = sorted(
+        f for f in os.listdir(d) if f.startswith("step") and f.endswith("_cov.npy")
+    )
+    assert steps  # cov checkpoints written
+    FC = _np.load(os.path.join(d, steps[-1]))
+    assert FC.shape == (1, 4)
+
+
+def test_do_run_task_cov_with_init_seed(tmp_path, monkeypatch):
+    monkeypatch.setenv("GPRF_EXPERIMENTS", str(tmp_path / "exp"))
+    d = str(tmp_path / "run_cov")
+    os.makedirs(d)
+    do_run(
+        d, lscale=0.3, n=60, ntrain=45, nblocks=4, yd=4, seed=1,
+        local_dist=0.01, maxsec=25, task="cov", obs_std=0.03, init_seed=3,
+    )
+    assert os.path.exists(os.path.join(d, "finished"))
