@@ -158,7 +158,11 @@ class FusedGridGPRF:
     """
 
     def __init__(self, X0, Y, centers, edges, X_obs, obs_std, cov: GPCov,
-                 noise_var, m=None, pair_mode: str = "schur"):
+                 noise_var, m=None, pair_mode: str | None = None):
+        if pair_mode is None:
+            # the Pallas pair kernel needs a real TPU backend; CPU (tests,
+            # virtual meshes) uses the XLA path
+            pair_mode = "schur_pallas" if jax.default_backend() == "tpu" else "schur"
         self.pair_mode = pair_mode
         self.Y = jnp.asarray(Y)
         self.centers = jnp.asarray(np.asarray(centers))

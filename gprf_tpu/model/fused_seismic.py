@@ -50,9 +50,13 @@ class FusedSeismicGPRF:
         m: int | None = None,
         depth_scale: float = 100.0,
         pair_chunk: int | None = None,
+        use_pallas: bool | None = None,
     ):
         assert task in ("x", "cov", "xcov")
         self.task = task
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        self.use_pallas = use_pallas
         self.dtype = jnp.float32
         self.Y = jnp.asarray(Y, dtype=self.dtype)
         self.flat = FlatPDTree(tree)
@@ -145,6 +149,7 @@ class FusedSeismicGPRF:
         depth_scale = self.depth_scale
         task = self.task
         pair_chunk = self.pair_chunk
+        use_pallas = self.use_pallas
         base_cov = self.cov
         noise_var = self.noise_var
         n = int(np.prod(self.shape))
@@ -194,6 +199,7 @@ class FusedSeismicGPRF:
             ll = gprf_ll_schur(
                 params, Y, assignment, mask, edges, uw, pw,
                 dfn_str="lld", wfn_str="matern32", pair_chunk=pair_chunk,
+                use_pallas=use_pallas,
             )
 
             if task in ("x", "xcov"):

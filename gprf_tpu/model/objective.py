@@ -100,10 +100,7 @@ def _schur_ll(
     """
     from gprf_tpu.linalg.masked import pad_kernel_matrix
 
-    if use_pallas:
-        from gprf_tpu.ops.pallas_mvn import batched_cholesky_pallas as chol
-    else:
-        chol = jnp.linalg.cholesky
+    chol = jnp.linalg.cholesky
 
     def tri_solve(L, B):
         return jax.lax.linalg.triangular_solve(
@@ -123,7 +120,14 @@ def _schur_ll(
         Kb = jax.vmap(lambda x: cross_kernel_matrix(cov, x, x))(Xb)
         Kb = Kb + noise_var * eye
         Kp = jax.vmap(pad_kernel_matrix)(Kb, mask)
-        Ls = chol(Kp)
+        from gprf_tpu.ops.pallas_mvn import pallas_supported
+
+        if use_pallas and pallas_supported(m):
+            from gprf_tpu.ops.pallas_mvn import batched_cholesky_pallas
+
+            Ls = batched_cholesky_pallas(Kp)  # custom-VJP pallas factorization
+        else:
+            Ls = chol(Kp)
         Ym = Y[assignment] * maskf[:, :, None]
         Zs = tri_solve(Ls, Ym)
         quads = jnp.sum(Zs * Zs, axis=(1, 2))
@@ -139,6 +143,9 @@ def _schur_ll(
             return total
 
         # ---- pair pass: Schur complement against the i-side factors
+        # the fused-MVN kernel is VMEM-bounded; larger blocks use XLA
+        pair_pallas = use_pallas and pallas_supported(m, for_mvn=True)
+
         def pair_batch(edges_c, pw_c):
             ei = edges_c[:, 0]
             ej = edges_c[:, 1]
@@ -147,16 +154,29 @@ def _schur_ll(
             )
             Kij = Kij * (maskf[ei][:, :, None] * maskf[ej][:, None, :])
             Bm = tri_solve(Ls[ei], Kij)
+            # Schur complement: padded rows of Kp[ej] are identity and the
+            # corresponding Bm columns are zero, so S stays padded-masked
             S = Kp[ej] - jnp.einsum("eki,ekj->eij", Bm, Bm)
-            Lsc = chol(S)
             rhs = Ym[ej] - jnp.einsum("eki,ekd->eid", Bm, Zs[ei])
-            z2 = tri_solve(Lsc, rhs)
-            quadp = quads[ei] + jnp.sum(z2 * z2, axis=(1, 2))
-            logdetp = logdets[ei] + 2.0 * jnp.sum(
-                jnp.log(jnp.diagonal(Lsc, axis1=1, axis2=2)), axis=1
-            )
-            nbp = nbs[ei] + jnp.sum(maskf[ej], axis=1)
-            pair_ll = -0.5 * quadp - 0.5 * dy * logdetp - 0.5 * dy * nbp * _LOG2PI
+            nbj = jnp.sum(maskf[ej], axis=1)
+            if pair_pallas:
+                # ll_pair = (i-side unary pieces) + MVN(S, rhs): the fused
+                # batch-in-lanes kernel computes chol+solve+reductions in one
+                from gprf_tpu.ops.pallas_mvn import batched_mvn_ll_pallas
+
+                mvn_s = batched_mvn_ll_pallas(S, rhs, nbj)
+                pair_ll = unary_ll[ei] + mvn_s
+            else:
+                Lsc = chol(S)
+                z2 = tri_solve(Lsc, rhs)
+                quadp = quads[ei] + jnp.sum(z2 * z2, axis=(1, 2))
+                logdetp = logdets[ei] + 2.0 * jnp.sum(
+                    jnp.log(jnp.diagonal(Lsc, axis1=1, axis2=2)), axis=1
+                )
+                nbp = nbs[ei] + nbj
+                pair_ll = (
+                    -0.5 * quadp - 0.5 * dy * logdetp - 0.5 * dy * nbp * _LOG2PI
+                )
             return jnp.sum(pw_c * pair_ll)
 
         if pair_chunk is None or E <= pair_chunk:

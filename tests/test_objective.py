@@ -334,10 +334,11 @@ def test_schur_pallas_matches_schur(rng):
     # Pallas call runs via the CPU lowering path when interpret is set inside.
     # Compare pallas backend in interpret mode by monkeypatching:
     import gprf_tpu.ops.pallas_mvn as pm
-    orig = pm.batched_cholesky_pallas
+    orig_mvn = pm.batched_mvn_ll_pallas
+    orig_chol = pm.batched_cholesky_pallas
     try:
-        pm_interp = lambda K, interpret=False: orig(K, True)
-        pm.batched_cholesky_pallas = pm_interp
+        pm.batched_mvn_ll_pallas = lambda Kp, Ym, na, interpret=False: orig_mvn(Kp, Ym, na, True)
+        pm.batched_cholesky_pallas = lambda K, interpret=False: orig_chol(K, True)
         ll_p = float(
             gprf_ll_schur(
                 params, Y32, arrays["assignment"], arrays["mask"], edges, uw, pw,
@@ -345,7 +346,8 @@ def test_schur_pallas_matches_schur(rng):
             )
         )
     finally:
-        pm.batched_cholesky_pallas = orig
+        pm.batched_mvn_ll_pallas = orig_mvn
+        pm.batched_cholesky_pallas = orig_chol
     assert np.isclose(ll_p, ll_x, rtol=1e-5)
 
 
