@@ -17,6 +17,13 @@ import time
 
 import numpy as np
 
+import jax
+
+# persistent compile cache: the driver runs this in a fresh process and the
+# remote-compile path is the dominant cold cost
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 
 BASELINE_SEC_PER_EVAL = 7.30  # reference CPU (BASELINE.md row 1)
 
@@ -75,10 +82,9 @@ def main():
         fused.value_and_grad(flat_obs)
     dispatch_eval_ms = (time.time() - t0) / 10 * 1e3
 
-    # --- headline: the real optimization loop fully on device.  Each zoom
-    # line-search trial is one objective+gradient evaluation (the same unit
-    # the reference's log counts); S L-BFGS iterations run per dispatch.
-    import jax
+    # --- headline: the real optimization loop fully on device; one
+    # objective+gradient evaluation per L-BFGS iteration (the same unit the
+    # reference's log counts); S iterations run per dispatch.
     import jax.numpy as jnp
     from gprf_tpu.optim.device_lbfgs import make_scan_lbfgs_runner
 
