@@ -96,3 +96,26 @@ def combine_clusters(clusters_dir, max_clusters=5000):
     np.save(os.path.join(clusters_dir, "aligned_Y.npy"), Y)
     np.save(os.path.join(clusters_dir, "aligned_data.npy"), data)
     return X, Y, data
+
+
+def load_events(basedir, sta="mkar", bin_size=1000, max_bins=1000):
+    """Load binned pickled (event, waveform) lists
+    (reference ``seismic_util.py:19-32``): reads ``{sta}_stuff_{k*bin}``
+    files until the ``_final`` sentinel."""
+    import pickle
+
+    s = []
+    for i in range(1, max_bins):
+        path = _os_join(basedir, "%s_stuff_%d" % (sta, i * bin_size))
+        try:
+            with open(path, "rb") as f:
+                s += pickle.load(f)
+        except (IOError, OSError):
+            with open(_os_join(basedir, "%s_stuff_final" % sta), "rb") as f:
+                s += pickle.load(f)
+            break
+    return s
+
+
+def _os_join(*parts):
+    return os.path.join(*parts)

@@ -140,6 +140,18 @@ class SampledData:
         lderiv = -(xx - flatobs) / (self.obs_std**2)
         return ll, lderiv
 
+    def x_prior_block(self, i, xx):
+        """Gaussian X-prior restricted to block i's points
+        (reference ``gprfopt.py:184-195``)."""
+        xx = np.asarray(xx)
+        idxs = self.block_idxs[i]
+        flatobs = self.X_obs[idxs].flatten()
+        n = len(xx)
+        r = (xx - flatobs) / self.obs_std
+        ll = -0.5 * np.sum(r**2) - 0.5 * n * np.log(2 * np.pi * self.obs_std**2)
+        lderiv = -(xx - flatobs) / (self.obs_std**2)
+        return ll, lderiv
+
     def random_init(self, jitter_std=None):
         if jitter_std is None:
             jitter_std = self.obs_std
