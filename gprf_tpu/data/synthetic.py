@@ -8,9 +8,10 @@ outputs Y are drawn from the GP prior.
 
 Prior sampling strategy: the reference uses a dense ``jitchol`` below 40k
 points and CHOLMOD sparse factorization above (``synthetic.py:103-137``).
-Here the dense path runs as one device Cholesky (f64 on CPU hosts, f32 on
-TPU with jitter), and the large-n path uses the native sparse factorization
-in :mod:`gprf_tpu.sparse` (kd-tree range query + C++ sparse Cholesky).
+Here the dense path runs as one host jitchol, moderate n uses the native
+sparse factorization in :mod:`gprf_tpu.sparse` (kd-tree range query + C++
+sparse Cholesky), and very large n uses sequential block-conditional
+(Vecchia-style) sampling (:func:`sample_y_blocked`).
 RNG: seeding matches the reference's ``np.random.seed(seed)`` global-state
 convention so seeds map to the same shape families.
 """
@@ -22,7 +23,9 @@ import numpy as np
 from gprf_tpu.kernels.gpcov import GPCov
 from gprf_tpu.linalg.jitchol import jitchol
 
-DENSE_SAMPLING_LIMIT = 40000  # reference threshold at synthetic.py:106
+DENSE_SAMPLING_LIMIT = 12000  # reference used 40000 (synthetic.py:106); host
+# dense cholesky above ~12k costs minutes, so the sparse/blocked samplers
+# take over earlier
 
 
 def sample_points_line(n, x1, x2, std=0.005):
@@ -132,9 +135,13 @@ def sample_y(X, cov: GPCov, noise_var, yd, sparse_lscales=4.0):
         L = jitchol(KK)
         Z = np.random.randn(n, yd)
         return L @ Z
-    from gprf_tpu.sparse import sample_y_sparse
+    if n <= 20000:
+        from gprf_tpu.sparse import sample_y_sparse
 
-    return sample_y_sparse(X, cov, noise_var, yd, max_scaled_dist=sparse_lscales)
+        return sample_y_sparse(X, cov, noise_var, yd, max_scaled_dist=sparse_lscales)
+    # very large n: the global sparse factor's fill-in is impractical
+    # single-threaded; use sequential block-conditional (Vecchia) sampling
+    return sample_y_blocked(X, cov, noise_var, yd)
 
 
 def sample_synthetic(seed=1, n=400, xd=2, yd=10, lscale=0.1, noise_var=0.01):
@@ -149,3 +156,51 @@ def sample_synthetic(seed=1, n=400, xd=2, yd=10, lscale=0.1, noise_var=0.01):
     cov = GPCov.create([1.0], [lscale] * xd, "euclidean", "se")
     y = sample_y(X, cov, noise_var, yd)
     return X, y, cov
+
+
+def sample_y_blocked(X, cov: GPCov, noise_var, yd, blocksize=512, n_condition=1024, rng=None):
+    """Vecchia-style sequential block sampling from the GP prior for very
+    large n: Morton-order the points, partition into consecutive blocks,
+    and draw each block from its exact conditional given (up to)
+    ``n_condition`` nearest previously-sampled points.
+
+    This is the scalable complement to the truncated-support sparse sampler
+    (reference ``synthetic.py:115-137``) — a sequential approximation of
+    the same flavor as the GPRF factorization itself, with dense
+    block-conditional Cholesky factorizations instead of one global sparse
+    factor (whose fill-in is impractical at n ~ 80k single-threaded).
+    """
+    from gprf_tpu.kernels.hostnp import cross_kernel_matrix_np
+    from gprf_tpu.partition.morton import sort_morton
+
+    X = np.asarray(X, dtype=np.float64)
+    n = len(X)
+    if rng is None:
+        rng = np.random
+    Xs, perm = sort_morton(X)
+    Y = np.zeros((n, yd))
+    start = 0
+    while start < n:
+        end = min(start + blocksize, n)
+        Xb = Xs[start:end]
+        Kbb = cross_kernel_matrix_np(cov, Xb, Xb) + noise_var * np.eye(end - start)
+        if start == 0:
+            L = jitchol(Kbb)
+            Y[start:end] = L @ rng.standard_normal((end - start, yd))
+        else:
+            # condition on the nearest previously-sampled points
+            lo = max(0, start - n_condition)
+            Xc = Xs[lo:start]
+            Kcb = cross_kernel_matrix_np(cov, Xc, Xb)
+            Kcc = cross_kernel_matrix_np(cov, Xc, Xc) + noise_var * np.eye(start - lo)
+            Lc = jitchol(Kcc)
+            A = np.linalg.solve(Lc, Kcb)          # Lc^-1 Kcb
+            mean = A.T @ np.linalg.solve(Lc, Y[lo:start])
+            Sigma = Kbb - A.T @ A
+            Ls = jitchol(Sigma)
+            Y[start:end] = mean + Ls @ rng.standard_normal((end - start, yd))
+        start = end
+    # undo the morton permutation
+    out = np.empty_like(Y)
+    out[perm] = Y
+    return out

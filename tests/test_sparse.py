@@ -107,3 +107,19 @@ def test_sample_y_sparse_covariance(rng):
     emp = Y @ Y.T / yd
     K = sparse_kernel_matrix(X, cov, max_scaled_dist=8.0, noise_var=0.1).toarray()
     assert np.max(np.abs(emp - K)) < 0.15
+
+
+def test_sample_y_blocked_covariance(rng):
+    """Blocked Vecchia sampler reproduces the prior covariance closely when
+    the conditioning window spans everything."""
+    from gprf_tpu.data.synthetic import sample_y_blocked
+    from gprf_tpu.kernels.hostnp import kernel_matrix_np
+
+    X = rng.uniform(size=(60, 2))
+    cov = GPCov.create([1.0], [0.3, 0.3])
+    yd = 4000
+    Y = sample_y_blocked(X, cov, 0.1, yd, blocksize=16, n_condition=60,
+                         rng=np.random.default_rng(0))
+    emp = Y @ Y.T / yd
+    K = kernel_matrix_np(cov, X, noise_var=0.1)
+    assert np.max(np.abs(emp - K)) < 0.15
