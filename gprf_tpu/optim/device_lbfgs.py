@@ -105,11 +105,15 @@ def make_scan_lbfgs_runner(loss_fn, num_steps: int, memory_size: int = 10,
         def step(carry, _):
             c = dict(carry)
             v_new, g_new = value_and_grad(c["x"])
-            # retrospective Armijo: compare against the value at the point
-            # the last step departed from
+            # retrospective Armijo vs the departure point, with nonmonotone
+            # slack at the dtype's resolution of the objective: in f32 at
+            # |v| ~ 1e6+ the roundoff noise exceeds real late-stage
+            # improvements, and a strict test spirals into rejections
+            eps = jnp.finfo(v_new.dtype).eps
+            slack = 8.0 * eps * jnp.abs(c["v_prev"])
             expected = c1 * jnp.abs(jnp.dot(c["g_prev"], c["x"] - c["x_prev"]))
             ok = c["first"] | (v_new <= c["v_prev"] - expected) | (
-                v_new < c["v_prev"]
+                v_new <= c["v_prev"] + slack
             )
 
             # on accept: fold (s, y) into memory if curvature is positive
@@ -243,6 +247,7 @@ def do_optimization_fused(
     f_log = open(os.path.join(d, "log.txt"), "a" if (resume and it) else "w")
     t0 = time.time()
     prev_best = np.inf
+    stall = 0
     try:
         while it < max_iters and time.time() - t0 < maxsec:
             carry, (values, accepted, gnorms) = run_fn(carry)
@@ -272,7 +277,11 @@ def do_optimization_fused(
             it += steps_per_dispatch
             best = float((-values).min())
             if prev_best - best < ftol * (abs(prev_best) + 1e-12):
-                break
+                stall += 1  # noise-tolerant: require repeated stalls
+                if stall >= 2:
+                    break
+            else:
+                stall = 0
             prev_best = min(prev_best, best)
     finally:
         f_log.write("optimization finished after %.fs\n" % (time.time() - t0))
@@ -310,6 +319,7 @@ def do_optimization_fused_seismic(
     covf = open(os.path.join(d, "covs.txt"), "a" if (resume and it) else "w")
     t0 = time.time()
     prev_best = np.inf
+    stall = 0
     try:
         while it < max_iters and time.time() - t0 < maxsec:
             carry, (values, accepted, gnorms) = run_fn(carry)
@@ -337,7 +347,11 @@ def do_optimization_fused_seismic(
             it += steps_per_dispatch
             best = float((-values).min())
             if prev_best - best < ftol * (abs(prev_best) + 1e-12):
-                break
+                stall += 1  # noise-tolerant: require repeated stalls
+                if stall >= 2:
+                    break
+            else:
+                stall = 0
             prev_best = min(prev_best, best)
     finally:
         f_log.write("optimization finished after %.fs\n" % (time.time() - t0))
