@@ -46,6 +46,7 @@ def do_run(
     num_inducing=-1,
     init_true=False,
     engine="host",
+    refine_iters=0,
 ):
     if rpc_blocksize == -1:
         centers = grid_centers(nblocks)
@@ -108,11 +109,22 @@ def do_run(
             from gprf_tpu.optim.device_lbfgs import do_optimization_fused
 
             b_centers = np.asarray(centers)
-            fused = FusedGridGPRF(
-                X0, data.SY, b_centers, data.neighbors if local_dist < 1.0 else [],
-                data.X_obs, data.obs_std, gprf.cov, gprf.noise_var,
-            )
-            do_optimization_fused(d, fused, X0, maxsec=maxsec)
+
+            def make_fused(dtype=None):
+                return FusedGridGPRF(
+                    X0, data.SY, b_centers,
+                    data.neighbors if local_dist < 1.0 else [],
+                    data.X_obs, data.obs_std, gprf.cov, gprf.noise_var,
+                    dtype=dtype,
+                )
+
+            x_final = do_optimization_fused(d, make_fused(), X0, maxsec=maxsec)
+            if refine_iters > 0:
+                from gprf_tpu.optim.device_lbfgs import refine_f64
+                from gprf_tpu.optim.driver import load_log
+
+                it0 = int(load_log(d)[0][-1]) + 1
+                refine_f64(d, make_fused, x_final, it0, iters=refine_iters)
         elif gplvm_type != "gprf":
             from gprf_tpu.model.sgplvm import do_sgplvm
 
@@ -207,6 +219,7 @@ def build_parser():
     parser.add_argument("--gplvm_type", dest="gplvm_type", default="gprf", type=str, help="'gprf', or 'sparse'/'bayesian'/'basic' for the inducing-point GPLVM baseline")
     parser.add_argument("--num_inducing", dest="num_inducing", default=0, type=int, help="number of inducing points for sparse baselines")
     parser.add_argument("--engine", dest="engine", default="host", choices=["host", "device"], help="host: scipy L-BFGS-B per-eval dispatch (reference semantics); device: fully on-device scan-L-BFGS loop (fast path; task=x grid runs)")
+    parser.add_argument("--refine_iters", dest="refine_iters", default=0, type=int, help="device engine: follow the f32 loop with this many float64 refinement iterations (breaks the f32 convergence floor at large n)")
     return parser
 
 
@@ -238,6 +251,7 @@ def main(argv=None):
         num_inducing=args.num_inducing,
         init_true=args.init_true,
         engine=args.engine,
+        refine_iters=args.refine_iters,
     )
 
 

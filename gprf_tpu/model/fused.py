@@ -158,13 +158,16 @@ class FusedGridGPRF:
     """
 
     def __init__(self, X0, Y, centers, edges, X_obs, obs_std, cov: GPCov,
-                 noise_var, m=None, pair_mode: str | None = None):
+                 noise_var, m=None, pair_mode: str | None = None, dtype=None):
+        if dtype is None:
+            dtype = jnp.result_type(float)  # f32, or f64 under jax_enable_x64
         if pair_mode is None:
-            # the Pallas pair kernel needs a real TPU backend; CPU (tests,
-            # virtual meshes) uses the XLA path
-            pair_mode = "schur_pallas" if jax.default_backend() == "tpu" else "schur"
+            # the Pallas pair kernel needs a real TPU backend and f32; CPU
+            # (tests, virtual meshes) and f64 refinement use the XLA path
+            on_tpu = jax.default_backend() == "tpu"
+            pair_mode = "schur_pallas" if (on_tpu and dtype == jnp.float32) else "schur"
         self.pair_mode = pair_mode
-        self.Y = jnp.asarray(Y)
+        self.Y = jnp.asarray(Y, dtype=dtype)
         self.centers = jnp.asarray(np.asarray(centers))
         edges = np.asarray(edges, dtype=np.int32).reshape(-1, 2)
         self.edges = jnp.asarray(edges)

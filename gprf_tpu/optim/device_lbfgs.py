@@ -360,3 +360,51 @@ def do_optimization_fused_seismic(
         with open(os.path.join(d, "finished"), "w") as f:
             f.write("")
     return np.asarray(carry["x"])
+
+
+def refine_f64(d, make_fused, x32, it0, iters: int = 60,
+               steps_per_dispatch: int = 10, maxsec: float = 1800):
+    """Float64 refinement phase: rebuild the fused loss at f64 and continue
+    the optimization from the f32 solution.
+
+    The f32 objective's roundoff floors late-stage convergence at large n
+    (see CLAUDE.md); f64 on TPU is ~100x slower per evaluation but only a
+    few dozen refinement iterations are needed.  ``make_fused(dtype)``
+    builds the fused evaluator at the requested dtype; checkpoints/log rows
+    continue the main run's numbering from ``it0``.
+    """
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    fused = make_fused(jnp.float64)
+    init_fn, run_fn = make_scan_lbfgs_runner(fused.loss_fn(), steps_per_dispatch)
+    carry = init_fn(jnp.asarray(np.asarray(x32, dtype=np.float64)))
+    f_log = open(os.path.join(d, "log.txt"), "a")
+    t0 = time.time()
+    it = it0
+    prev_best = np.inf
+    stall = 0
+    try:
+        while it < it0 + iters and time.time() - t0 < maxsec:
+            carry, (values, accepted, gnorms) = run_fn(carry)
+            values = -np.asarray(values)
+            x_host = np.asarray(carry["x"])
+            save_step(d, it + steps_per_dispatch - 1,
+                      X=x_host.reshape(fused.shape))
+            now = time.time() - t0
+            for k, v in enumerate(values):
+                f_log.write("%d %.2f %.2f\n" % (it + k, now, float(v)))
+            f_log.flush()
+            it += steps_per_dispatch
+            best = float((-values).min())
+            if prev_best - best < 1e-9 * (abs(prev_best) + 1e-12):
+                stall += 1
+                if stall >= 2:
+                    break
+            else:
+                stall = 0
+            prev_best = min(prev_best, best)
+    finally:
+        f_log.write("f64 refinement finished after %.fs\n" % (time.time() - t0))
+        f_log.close()
+    return np.asarray(carry["x"])
