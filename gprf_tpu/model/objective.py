@@ -100,12 +100,23 @@ def _schur_ll(
     """
     from gprf_tpu.linalg.masked import pad_kernel_matrix
 
-    chol = jnp.linalg.cholesky
+    # wide matrices go through panel-blocked primitives: XLA's monolithic
+    # cholesky/triangular_solve exceed scoped VMEM at f64 for m ~ 1000, and
+    # the blocked trailing updates are MXU matmuls anyway
+    wide = assignment.shape[1] > 512 or jnp.result_type(X.dtype) == jnp.float64
 
-    def tri_solve(L, B):
-        return jax.lax.linalg.triangular_solve(
-            L, B, left_side=True, lower=True, transpose_a=False
-        )
+    if wide:
+        from gprf_tpu.linalg.blocked import blocked_cholesky, blocked_tri_solve
+
+        chol = blocked_cholesky
+        tri_solve = blocked_tri_solve
+    else:
+        chol = jnp.linalg.cholesky
+
+        def tri_solve(L, B):
+            return jax.lax.linalg.triangular_solve(
+                L, B, left_side=True, lower=True, transpose_a=False
+            )
 
     _LOG2PI = math.log(2.0 * math.pi)
     dy = Y.shape[-1]

@@ -67,3 +67,27 @@ def test_jitchol_adds_jitter_on_near_singular():
     L = jitchol(K)
     assert np.all(np.isfinite(L))
     np.testing.assert_allclose(L @ L.T, K, atol=1e-3)
+
+
+def test_blocked_cholesky_matches(rng):
+    from gprf_tpu.linalg.blocked import blocked_cholesky
+
+    for m, panel in [(70, 32), (64, 32), (100, 100), (130, 48)]:
+        A = rng.normal(size=(3, m, m))
+        K = np.einsum("bij,bkj->bik", A, A) + m * np.eye(m)
+        L = np.asarray(blocked_cholesky(jnp.asarray(K), panel=panel))
+        np.testing.assert_allclose(L, np.linalg.cholesky(K), rtol=1e-9, atol=1e-10)
+
+
+def test_blocked_tri_solve_matches(rng):
+    from gprf_tpu.linalg.blocked import blocked_cholesky, blocked_tri_solve
+
+    m, k = 90, 17
+    A = rng.normal(size=(2, m, m))
+    K = np.einsum("bij,bkj->bik", A, A) + m * np.eye(m)
+    L = np.linalg.cholesky(K)
+    B = rng.normal(size=(2, m, k))
+    X = np.asarray(blocked_tri_solve(jnp.asarray(L), jnp.asarray(B), panel=32))
+    np.testing.assert_allclose(
+        np.einsum("bij,bjk->bik", L, X), B, rtol=1e-9, atol=1e-10
+    )
