@@ -15,28 +15,31 @@ import jax.numpy as jnp
 
 
 def blocked_cholesky(K, panel: int = 256):
-    """Lower Cholesky of SPD [..., m, m] via right-looking panels."""
+    """Lower Cholesky of SPD [..., m, m] via recursive 2x2 panel blocks.
+
+    Built from slices and concatenations only — no scatter updates, whose
+    autodiff transposes allocate whole-matrix scatter-adds that exceed the
+    TPU scoped-VMEM limit at wide shapes.
+    """
     m = K.shape[-1]
     if m <= panel:
         return jnp.linalg.cholesky(K)
-    L = jnp.zeros_like(K)
-    A = K
     with jax.default_matmul_precision("highest"):
-        for s in range(0, m, panel):
-            e = min(s + panel, m)
-            Ld = jnp.linalg.cholesky(A[..., s:e, s:e])
-            L = L.at[..., s:e, s:e].set(Ld)
-            if e < m:
-                B = A[..., e:, s:e]
-                # Lb = B Ld^-T  (rows of the panel column below the diagonal)
-                Lb = jax.lax.linalg.triangular_solve(
-                    Ld, B, left_side=False, lower=True, transpose_a=True
-                )
-                L = L.at[..., e:, s:e].set(Lb)
-                A = A.at[..., e:, e:].add(
-                    -jnp.einsum("...ik,...jk->...ij", Lb, Lb)
-                )
-    return L
+        A11 = K[..., :panel, :panel]
+        A21 = K[..., panel:, :panel]
+        A22 = K[..., panel:, panel:]
+        L11 = jnp.linalg.cholesky(A11)
+        # L21 = A21 L11^-T
+        L21 = jax.lax.linalg.triangular_solve(
+            L11, A21, left_side=False, lower=True, transpose_a=True
+        )
+        S = A22 - jnp.einsum("...ik,...jk->...ij", L21, L21)
+        L22 = blocked_cholesky(S, panel)
+        top = jnp.concatenate(
+            [L11, jnp.zeros(K.shape[:-2] + (panel, m - panel), K.dtype)], axis=-1
+        )
+        bot = jnp.concatenate([L21, L22], axis=-1)
+        return jnp.concatenate([top, bot], axis=-2)
 
 
 def blocked_tri_solve(L, B, panel: int = 256):
