@@ -377,6 +377,16 @@ def refine_f64(d, make_fused, x32, it0, iters: int = 60,
 
     jax.config.update("jax_enable_x64", True)
     fused = make_fused(jnp.float64)
+    if fused.m > 512:
+        # f64 on TPU is emulated as f32 pairs (~3 GFLOP/s measured) and the
+        # pair-term gathers transpose to whole-[B, m, m] scatter-adds that
+        # exceed scoped VMEM at these widths; see CLAUDE.md for the planned
+        # compensated-arithmetic alternative
+        print(
+            "refine_f64: block width m=%d exceeds the supported 512; "
+            "skipping the f64 phase" % fused.m
+        )
+        return np.asarray(x32)
     init_fn, run_fn = make_scan_lbfgs_runner(fused.loss_fn(), steps_per_dispatch)
     carry = init_fn(jnp.asarray(np.asarray(x32, dtype=np.float64)))
     f_log = open(os.path.join(d, "log.txt"), "a")

@@ -159,3 +159,21 @@ def test_do_run_task_cov_with_init_seed(tmp_path, monkeypatch):
         local_dist=0.01, maxsec=25, task="cov", obs_std=0.03, init_seed=3,
     )
     assert os.path.exists(os.path.join(d, "finished"))
+
+
+def test_do_run_device_engine_with_f64_refinement(tmp_path, monkeypatch):
+    monkeypatch.setenv("GPRF_EXPERIMENTS", str(tmp_path / "exp"))
+    d = str(tmp_path / "run_refine")
+    os.makedirs(d)
+    do_run(
+        d, lscale=0.3, n=70, ntrain=50, nblocks=4, yd=4, seed=1,
+        local_dist=0.01, maxsec=30, task="x", obs_std=0.03,
+        engine="device", refine_iters=10,
+    )
+    from gprf_tpu.optim.driver import load_log
+
+    steps, times, lls = load_log(d)
+    assert len(steps) >= 10
+    # refinement appended rows and did not regress the objective
+    assert lls[-1] >= lls[0]
+    assert os.path.exists(os.path.join(d, "results.txt"))
