@@ -109,8 +109,14 @@ def do_run(
             from gprf_tpu.optim.device_lbfgs import do_optimization_fused
 
             b_centers = np.asarray(centers)
+            # x64 enables the f64 accumulation of the objective's scalar
+            # tails (factorizations stay f32); see model/objective._schur_ll
+            import jax
+            import jax.numpy as jnp
 
-            def make_fused(dtype=None):
+            jax.config.update("jax_enable_x64", True)
+
+            def make_fused(dtype=jnp.float32):
                 return FusedGridGPRF(
                     X0, data.SY, b_centers,
                     data.neighbors if local_dist < 1.0 else [],

@@ -158,18 +158,25 @@ def sample_synthetic(seed=1, n=400, xd=2, yd=10, lscale=0.1, noise_var=0.01):
     return X, y, cov
 
 
-def sample_y_blocked(X, cov: GPCov, noise_var, yd, blocksize=512, n_condition=1024, rng=None):
-    """Vecchia-style sequential block sampling from the GP prior for very
-    large n: Morton-order the points, partition into consecutive blocks,
-    and draw each block from its exact conditional given (up to)
-    ``n_condition`` nearest previously-sampled points.
+def sample_y_blocked(X, cov: GPCov, noise_var, yd, blocksize=512, n_condition=1536,
+                     knn=24, rng=None):
+    """Vecchia sequential block sampling from the GP prior for very large n:
+    Morton-order the points, partition into consecutive blocks, and draw
+    each block from its exact conditional given the *nearest*
+    previously-sampled points (k-NN per new point, unioned and capped at
+    ``n_condition``).
 
-    This is the scalable complement to the truncated-support sparse sampler
-    (reference ``synthetic.py:115-137``) — a sequential approximation of
-    the same flavor as the GPRF factorization itself, with dense
-    block-conditional Cholesky factorizations instead of one global sparse
-    factor (whose fill-in is impractical at n ~ 80k single-threaded).
+    Nearest-among-previous conditioning matters: a contiguous
+    Morton-window is spatially one-sided and leaves kernel-inconsistent
+    seams in the sampled field (observed as the true-X GPRF objective
+    scoring far below the optimum).  This is the scalable complement to the
+    truncated-support sparse sampler (reference ``synthetic.py:115-137``),
+    with dense block-conditional Cholesky factorizations instead of one
+    global sparse factor (whose fill-in is impractical at n ~ 80k
+    single-threaded).
     """
+    from scipy.spatial import cKDTree
+
     from gprf_tpu.kernels.hostnp import cross_kernel_matrix_np
     from gprf_tpu.partition.morton import sort_morton
 
@@ -188,14 +195,21 @@ def sample_y_blocked(X, cov: GPCov, noise_var, yd, blocksize=512, n_condition=10
             L = jitchol(Kbb)
             Y[start:end] = L @ rng.standard_normal((end - start, yd))
         else:
-            # condition on the nearest previously-sampled points
-            lo = max(0, start - n_condition)
-            Xc = Xs[lo:start]
+            # nearest previously-sampled points (union of per-point k-NN)
+            tree = cKDTree(Xs[:start])
+            k = min(knn, start)
+            _, idx = tree.query(Xb, k=k)
+            cond = np.unique(np.asarray(idx).reshape(-1))
+            if len(cond) > n_condition:
+                # keep the closest by distance to the block centroid
+                dc = np.linalg.norm(Xs[cond] - Xb.mean(axis=0), axis=1)
+                cond = cond[np.argsort(dc)[:n_condition]]
+            Xc = Xs[cond]
             Kcb = cross_kernel_matrix_np(cov, Xc, Xb)
-            Kcc = cross_kernel_matrix_np(cov, Xc, Xc) + noise_var * np.eye(start - lo)
+            Kcc = cross_kernel_matrix_np(cov, Xc, Xc) + noise_var * np.eye(len(cond))
             Lc = jitchol(Kcc)
             A = np.linalg.solve(Lc, Kcb)          # Lc^-1 Kcb
-            mean = A.T @ np.linalg.solve(Lc, Y[lo:start])
+            mean = A.T @ np.linalg.solve(Lc, Y[cond])
             Sigma = Kbb - A.T @ A
             Ls = jitchol(Sigma)
             Y[start:end] = mean + Ls @ rng.standard_normal((end - start, yd))

@@ -123,6 +123,11 @@ def _schur_ll(
     m = assignment.shape[1]
     dtype = X.dtype
     eye = jnp.eye(m, dtype=dtype)
+    # accumulate the cheap scalar tails (quad/logdet reductions, the
+    # weighted block sums) in f64 when x64 is enabled: at large n the f32
+    # ulp of the total (~0.25 at |v| ~ 3e6) exceeds real late-stage
+    # improvements and floors convergence
+    acc = jnp.float64 if jax.config.jax_enable_x64 else dtype
 
     with jax.default_matmul_precision("highest"):
         # ---- unary pass: batched masked Cholesky + per-block ll pieces
@@ -141,13 +146,13 @@ def _schur_ll(
             Ls = chol(Kp)
         Ym = Y[assignment] * maskf[:, :, None]
         Zs = tri_solve(Ls, Ym)
-        quads = jnp.sum(Zs * Zs, axis=(1, 2))
+        quads = jnp.sum((Zs * Zs).astype(acc), axis=(1, 2))
         logdets = 2.0 * jnp.sum(
-            jnp.log(jnp.diagonal(Ls, axis1=1, axis2=2)), axis=1
+            jnp.log(jnp.diagonal(Ls, axis1=1, axis2=2)).astype(acc), axis=1
         )
-        nbs = jnp.sum(maskf, axis=1)
+        nbs = jnp.sum(maskf.astype(acc), axis=1)
         unary_ll = -0.5 * quads - 0.5 * dy * logdets - 0.5 * dy * nbs * _LOG2PI
-        total = jnp.sum(unary_weights * unary_ll)
+        total = jnp.sum(unary_weights.astype(acc) * unary_ll)
 
         E = edges.shape[0]
         if E == 0:
@@ -176,19 +181,19 @@ def _schur_ll(
                 from gprf_tpu.ops.pallas_mvn import batched_mvn_ll_pallas
 
                 mvn_s = batched_mvn_ll_pallas(S, rhs, nbj)
-                pair_ll = unary_ll[ei] + mvn_s
+                pair_ll = unary_ll[ei] + mvn_s.astype(acc)
             else:
                 Lsc = chol(S)
                 z2 = tri_solve(Lsc, rhs)
-                quadp = quads[ei] + jnp.sum(z2 * z2, axis=(1, 2))
+                quadp = quads[ei] + jnp.sum((z2 * z2).astype(acc), axis=(1, 2))
                 logdetp = logdets[ei] + 2.0 * jnp.sum(
-                    jnp.log(jnp.diagonal(Lsc, axis1=1, axis2=2)), axis=1
+                    jnp.log(jnp.diagonal(Lsc, axis1=1, axis2=2)).astype(acc), axis=1
                 )
-                nbp = nbs[ei] + nbj
+                nbp = nbs[ei] + nbj.astype(acc)
                 pair_ll = (
                     -0.5 * quadp - 0.5 * dy * logdetp - 0.5 * dy * nbp * _LOG2PI
                 )
-            return jnp.sum(pw_c * pair_ll)
+            return jnp.sum(pw_c.astype(acc) * pair_ll)
 
         if pair_chunk is None or E <= pair_chunk:
             return total + pair_batch(edges, pair_weights)
