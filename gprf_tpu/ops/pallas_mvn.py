@@ -71,15 +71,15 @@ def _chol_kernel(k_hbm, lt_hbm):
                 lcol = jnp.where(iidx > k, jnp.transpose(colu, (1, 0, 2)), 0.0)
                 # trailing update restricted to rows > k (rows <= k hold L^T)
                 scratch[:, :, :] = scratch[:, :, :] - lcol * colu
-                return 0
+                return jnp.int32(0)
 
-            jax.lax.fori_loop(0, m, step, 0)
+            jax.lax.fori_loop(jnp.int32(0), jnp.int32(m), step, jnp.int32(0))
             cp_out = pltpu.make_async_copy(scratch, lt_hbm.at[i], sem_out)
             cp_out.start()
             cp_out.wait()
-            return 0
+            return jnp.int32(0)
 
-        jax.lax.fori_loop(0, nb, tile, 0)
+        jax.lax.fori_loop(jnp.int32(0), jnp.int32(nb), tile, jnp.int32(0))
 
     pl.run_scoped(
         body,
@@ -183,7 +183,8 @@ def _mvn_kernel(k_hbm, y_hbm, nact_hbm, ll_hbm, lt_hbm):
                 return logdet
 
             logdet = jax.lax.fori_loop(
-                0, m, step, jnp.zeros((1, T), dtype=k_hbm.dtype)
+                jnp.int32(0), jnp.int32(m), step,
+                jnp.zeros((1, T), dtype=k_hbm.dtype),
             )
             quad = jnp.sum(z_scr[:, :, :] * z_scr[:, :, :], axis=(0, 1))  # [T]
             nact = n_scr[0, :]
@@ -196,9 +197,9 @@ def _mvn_kernel(k_hbm, y_hbm, nact_hbm, ll_hbm, lt_hbm):
             cp_lt.start()
             cp_ll.wait()
             cp_lt.wait()
-            return 0
+            return jnp.int32(0)
 
-        jax.lax.fori_loop(0, nb, tile, 0)
+        jax.lax.fori_loop(jnp.int32(0), jnp.int32(nb), tile, jnp.int32(0))
 
     pl.run_scoped(
         body,
