@@ -101,14 +101,16 @@ def do_run(
 
     if not analyze_only:
         if engine == "device":
-            if task != "x" or rpc_blocksize != -1 or gplvm_type != "gprf":
+            if gplvm_type != "gprf":
                 raise ValueError(
-                    "--engine=device currently supports task=x grid-partition GPRF runs"
+                    "--engine=device serves GPRF runs; GPLVM baselines use the host engine"
                 )
-            from gprf_tpu.model.fused import FusedGridGPRF
-            from gprf_tpu.optim.device_lbfgs import do_optimization_fused
+            from gprf_tpu.model.fused import FusedSyntheticGPRF
+            from gprf_tpu.optim.device_lbfgs import (
+                do_optimization_fused,
+                do_optimization_fused_theta,
+            )
 
-            b_centers = np.asarray(centers)
             # x64 enables the f64 accumulation of the objective's scalar
             # tails (factorizations stay f32); see model/objective._schur_ll
             import jax
@@ -116,21 +118,38 @@ def do_run(
 
             jax.config.update("jax_enable_x64", True)
 
+            # the partition the host path built: grid centers or the RPC
+            # split tree (replayed on device, median recompute per node)
+            if rpc_blocksize == -1:
+                part = dict(centers=np.asarray(centers))
+            else:
+                part = dict(rpc_tree=data.rpc_splits)
+            edges = gprf.neighbors  # [] for local GPs (local_dist = 1.0)
+            X_anchor = data.SX if task == "cov" else X0
+
             def make_fused(dtype=jnp.float32):
-                return FusedGridGPRF(
-                    X0, data.SY, b_centers,
-                    data.neighbors if local_dist < 1.0 else [],
-                    data.X_obs, data.obs_std, gprf.cov, gprf.noise_var,
-                    dtype=dtype,
+                return FusedSyntheticGPRF(
+                    X_anchor, data.SY, edges, data.X_obs, data.obs_std,
+                    gprf.cov, gprf.noise_var, task=task, C0=C0,
+                    dtype=dtype, **part,
                 )
 
-            x_final = do_optimization_fused(d, make_fused(), X0, maxsec=maxsec)
-            if refine_iters > 0:
-                from gprf_tpu.optim.device_lbfgs import refine_f64
-                from gprf_tpu.optim.driver import load_log
+            fused = make_fused()
+            if task == "x":
+                x_final = do_optimization_fused(d, fused, X0, maxsec=maxsec)
+                if refine_iters > 0:
+                    from gprf_tpu.optim.device_lbfgs import refine_f64
+                    from gprf_tpu.optim.driver import load_log
 
-                it0 = int(load_log(d)[0][-1]) + 1
-                refine_f64(d, make_fused, x_final, it0, iters=refine_iters)
+                    it0 = int(load_log(d)[0][-1]) + 1
+                    refine_f64(d, make_fused, x_final, it0, iters=refine_iters)
+            else:
+                if refine_iters > 0:
+                    raise ValueError(
+                        "--refine_iters currently applies to task=x device runs"
+                    )
+                theta0 = fused.theta0()
+                do_optimization_fused_theta(d, fused, theta0, maxsec=maxsec)
         elif gplvm_type != "gprf":
             from gprf_tpu.model.sgplvm import do_sgplvm
 

@@ -184,7 +184,7 @@ def main(argv=None):
     if not args.analyze:
         if args.engine == "device":
             from gprf_tpu.model.fused_seismic import FusedSeismicGPRF
-            from gprf_tpu.optim.device_lbfgs import do_optimization_fused_seismic
+            from gprf_tpu.optim.device_lbfgs import do_optimization_fused_theta
             from gprf_tpu.partition.pdtree import PDTree, wrap_lon
 
             X2 = means[:, :2].copy()
@@ -195,7 +195,7 @@ def main(argv=None):
                 task=args.task,
             )
             theta0 = fused.theta0(X0 if X0 is not None else means, C0)
-            do_optimization_fused_seismic(d, fused, theta0, maxsec=args.maxsec)
+            do_optimization_fused_theta(d, fused, theta0, maxsec=args.maxsec)
         else:
             do_optimization_seismic(
                 d,

@@ -73,6 +73,7 @@ class SampledData:
         all_idxs = np.arange(self.ntrain)
         cluster_idxs, splits = cluster_rpc(self.X_obs, all_idxs, target_size=blocksize)
         self.block_idxs = cluster_idxs
+        self.rpc_splits = splits  # kept for the device engine's split replay
         self.reblock = lambda X: cluster_rpc(
             X, all_idxs, target_size=blocksize, fixed_split=splits
         )[0]

@@ -51,9 +51,11 @@ class FusedSeismicGPRF:
         depth_scale: float = 100.0,
         pair_chunk: int | None = None,
         use_pallas: bool | None = None,
+        mesh=None,
     ):
         assert task in ("x", "cov", "xcov")
         self.task = task
+        self.mesh = mesh
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
         self.use_pallas = use_pallas
@@ -150,6 +152,7 @@ class FusedSeismicGPRF:
         task = self.task
         pair_chunk = self.pair_chunk
         use_pallas = self.use_pallas
+        mesh = self.mesh
         base_cov = self.cov
         noise_var = self.noise_var
         n = int(np.prod(self.shape))
@@ -199,7 +202,7 @@ class FusedSeismicGPRF:
             ll = gprf_ll_schur(
                 params, Y, assignment, mask, edges, uw, pw,
                 dfn_str="lld", wfn_str="matern32", pair_chunk=pair_chunk,
-                use_pallas=use_pallas,
+                use_pallas=use_pallas, mesh=mesh,
             )
 
             if task in ("x", "xcov"):

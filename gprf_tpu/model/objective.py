@@ -73,9 +73,52 @@ def _batch_terms(X, Y, assignment, mask, cov, noise_var, chunk_size):
     return jax.lax.map(jax.checkpoint(one), (assignment, mask), batch_size=chunk_size)
 
 
+def _shard_batches(
+    mesh, mesh_axis, assignment, mask, unary_weights, edges, pair_weights
+):
+    """Pad the unary [B, .] and edge [E, .] batches to multiples of the mesh
+    size with zero-weight dummies (exact: weights are part of the objective)
+    and pin them to a 1-d batch sharding — GSPMD then partitions the vmapped
+    factorizations across devices and inserts the AllReduce for the scalar
+    and the gradX scatter-add, the TPU equivalent of the reference's
+    process-pool block fan-out (``gprf.py:218-229``)."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    ndev = int(mesh.devices.size)
+    shard_b = NamedSharding(mesh, PartitionSpec(mesh_axis))
+
+    def pad0(a, target):
+        extra = target - a.shape[0]
+        if extra <= 0:
+            return a
+        return jnp.concatenate(
+            [a, jnp.zeros((extra,) + a.shape[1:], dtype=a.dtype)], axis=0
+        )
+
+    B0 = assignment.shape[0]
+    padB = -(-B0 // ndev) * ndev
+    # padded blocks are fully masked: their padded kernel matrix is the
+    # identity, so ll = 0 exactly, on top of the zero weight
+    assignment = jax.lax.with_sharding_constraint(pad0(assignment, padB), shard_b)
+    mask = jax.lax.with_sharding_constraint(pad0(mask, padB), shard_b)
+    unary_weights = jax.lax.with_sharding_constraint(
+        pad0(unary_weights, padB), shard_b
+    )
+    E0 = edges.shape[0]
+    if E0 > 0:
+        padE = -(-E0 // ndev) * ndev
+        # dummy edges are (0, 0) with zero weight; the degenerate Schur
+        # complement of block 0 against itself stays PD (noise variance)
+        edges = jax.lax.with_sharding_constraint(pad0(edges, padE), shard_b)
+        pair_weights = jax.lax.with_sharding_constraint(
+            pad0(pair_weights, padE), shard_b
+        )
+    return assignment, mask, unary_weights, edges, pair_weights
+
+
 def _schur_ll(
     X, Y, assignment, mask, edges, unary_weights, pair_weights, cov, noise_var,
-    pair_chunk=None, use_pallas=False,
+    pair_chunk=None, use_pallas=False, mesh=None, mesh_axis="b",
 ):
     """GPRF objective with pair terms factored through the unary Cholesky.
 
@@ -100,12 +143,33 @@ def _schur_ll(
     """
     from gprf_tpu.linalg.masked import pad_kernel_matrix
 
+    if mesh is not None:
+        assignment, mask, unary_weights, edges, pair_weights = _shard_batches(
+            mesh, mesh_axis, assignment, mask, unary_weights, edges, pair_weights
+        )
+
     # wide matrices go through panel-blocked primitives: XLA's monolithic
     # cholesky/triangular_solve exceed scoped VMEM at f64 for m ~ 1000, and
-    # the blocked trailing updates are MXU matmuls anyway
-    wide = assignment.shape[1] > 512 or jnp.result_type(X.dtype) == jnp.float64
+    # the blocked trailing updates are MXU matmuls anyway.  On TPU f32 the
+    # panels themselves use the batch-in-lanes Pallas kernels (diagonal
+    # factorization + triangular inverse), which turns every panel solve
+    # into an MXU matmul — this is what lifts the old m <= 168 Pallas cap.
+    from gprf_tpu.ops.pallas_mvn import MAX_M_CHOL
 
-    if wide:
+    f64 = jnp.result_type(X.dtype) == jnp.float64
+    m_pad = assignment.shape[1]
+    use_lanes_blocked = use_pallas and not f64 and m_pad > MAX_M_CHOL
+    wide = m_pad > 512 or f64
+
+    if use_lanes_blocked:
+        from gprf_tpu.linalg.lanes_blocked import (
+            blocked_cholesky_lanes,
+            blocked_tri_solve_lanes,
+        )
+
+        chol = blocked_cholesky_lanes
+        tri_solve = blocked_tri_solve_lanes
+    elif wide:
         from gprf_tpu.linalg.blocked import blocked_cholesky, blocked_tri_solve
 
         chol = blocked_cholesky
@@ -255,7 +319,8 @@ def gprf_ll(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("dfn_str", "wfn_str", "pair_chunk", "use_pallas")
+    jax.jit,
+    static_argnames=("dfn_str", "wfn_str", "pair_chunk", "use_pallas", "mesh", "mesh_axis"),
 )
 def gprf_ll_schur(
     params: GPRFParams,
@@ -269,9 +334,16 @@ def gprf_ll_schur(
     wfn_str: str = "se",
     pair_chunk: int | None = None,
     use_pallas: bool = False,
+    mesh=None,
+    mesh_axis: str = "b",
 ):
     """Scalar GPRF log-likelihood via the Schur-complement pair form
-    (see :func:`_schur_ll`); numerically equal to :func:`gprf_ll`."""
+    (see :func:`_schur_ll`); numerically equal to :func:`gprf_ll`.
+
+    ``mesh`` (a ``jax.sharding.Mesh``, hashable => jit-static) shards the
+    unary and edge batches over the 1-d axis ``mesh_axis``; X/Y/params stay
+    replicated and all collectives are compiler-inserted.
+    """
     cov = GPCov(
         wfn_params=params.wfn_params,
         dfn_params=params.dfn_params,
@@ -281,7 +353,61 @@ def gprf_ll_schur(
     return _schur_ll(
         params.X, Y, assignment, mask, edges, unary_weights, pair_weights,
         cov, params.noise_var, pair_chunk=pair_chunk, use_pallas=use_pallas,
+        mesh=mesh, mesh_axis=mesh_axis,
     )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "dfn_str", "wfn_str", "grad_X", "grad_cov", "pair_chunk",
+        "use_pallas", "mesh", "mesh_axis",
+    ),
+)
+def gprf_value_and_grad_schur(
+    params: GPRFParams,
+    Y,
+    assignment,
+    mask,
+    edges,
+    unary_weights,
+    pair_weights,
+    dfn_str: str = "euclidean",
+    wfn_str: str = "se",
+    grad_X: bool = True,
+    grad_cov: bool = False,
+    pair_chunk: int | None = None,
+    use_pallas: bool = False,
+    mesh=None,
+    mesh_axis: str = "b",
+):
+    """(ll, gradX, gradCov) via the Schur-factored pair form — the fast
+    default behind :meth:`gprf_tpu.model.gprf.GPRF.llgrad` (same contract
+    as :func:`gprf_value_and_grad`, which remains the joint-form parity
+    oracle)."""
+
+    def f(p):
+        return gprf_ll_schur(
+            p, Y, assignment, mask, edges, unary_weights, pair_weights,
+            dfn_str=dfn_str, wfn_str=wfn_str, pair_chunk=pair_chunk,
+            use_pallas=use_pallas, mesh=mesh, mesh_axis=mesh_axis,
+        )
+
+    if not (grad_X or grad_cov):
+        ll = f(params)
+        g = jax.tree.map(jnp.zeros_like, params)
+    else:
+        ll, g = jax.value_and_grad(f)(params)
+
+    gradX = g.X if grad_X else jnp.zeros_like(params.X)
+    if grad_cov:
+        gradCov = jnp.concatenate(
+            [jnp.reshape(g.noise_var, (1,)), g.wfn_params, g.dfn_params]
+        ).reshape(1, -1)
+    else:
+        ncov = 1 + params.wfn_params.shape[0] + params.dfn_params.shape[0]
+        gradCov = jnp.zeros((1, ncov), dtype=params.X.dtype)
+    return ll, gradX, gradCov
 
 
 @functools.partial(

@@ -11,8 +11,13 @@ correction against the shared prior:
     final_mean     = inv(final_prec) sum_i inv(post_cov_i) post_mean_i
 
 Per-block training caches (K^-1, alpha) are computed in one batched masked
-Cholesky pass on device; the query-time combination runs on host NumPy (it
-is data-prep-scale work over a handful of source blocks).
+Cholesky pass on device.  The query-time combination is also one batched
+device program (``combine="device"``, the default): the source blocks are
+gathered into a padded [S, m] batch and every per-expert posterior,
+precision (Cholesky-solve, no explicit ``np.linalg.inv``), and the
+precision-weighted pooling run as a single vmapped dispatch — replacing the
+reference's per-source-block host loop (``gprf.py:644-665``).  The host
+NumPy loop is kept as the parity oracle (``combine="host"``).
 """
 
 from __future__ import annotations
@@ -61,9 +66,57 @@ def symmetrize_neighbors(neighbors):
     return ndict
 
 
-def train_predictor(gprf, test_cov: GPCov | None = None, Y=None):
+@jax.jit
+def _combine_device(
+    Xstar, Xs, Kinvs_s, Alphas_s, masks_s, model_cov: GPCov,
+    test_cov: GPCov, expert_nv, prior_nv
+):
+    """One-dispatch BCM combination over a padded source-block batch.
+
+    Xstar [q, dx]; Xs [S, m, dx]; Kinvs_s [S, m, m]; Alphas_s [S, m, dy];
+    masks_s [S, m] — returns (final_mean [q, dy], final_cov [q, q]).
+    Expert posterior precisions come from a batched Cholesky solve; padded
+    slots carry zero kernel columns (masked) and zero Kinv/alpha rows, so
+    they drop out exactly.  The prior uses ``test_cov``, the experts the
+    model covariance (reference ``gprf.py:621, 649-656``).
+    """
+    q = Xstar.shape[0]
+    dtype = Xstar.dtype
+    eye = jnp.eye(q, dtype=dtype)
+    prior_cov = cross_kernel_matrix(test_cov, Xstar, Xstar) + eye * prior_nv
+    # reference quirk preserved (gprf.py:655-656): each expert's Kss gets
+    # the *model* noise variance when test noise is requested
+    Kss = cross_kernel_matrix(model_cov, Xstar, Xstar) + eye * expert_nv
+
+    maskf = masks_s.astype(dtype)
+
+    def expert(Xi, Kinv, alpha, msk):
+        Kstar = cross_kernel_matrix(model_cov, Xstar, Xi) * msk[None, :]
+        mean = Kstar @ alpha  # [q, dy]
+        cov_post = Kss - Kstar @ (Kinv @ Kstar.T)
+        L = jsp_linalg.cholesky(cov_post, lower=True)
+        prec = jsp_linalg.cho_solve((L, True), eye)
+        return prec, prec @ mean
+
+    with jax.default_matmul_precision("highest"):
+        precs, wmeans = jax.vmap(expert)(Xs, Kinvs_s, Alphas_s, maskf)
+        S = Xs.shape[0]
+        Lss = jsp_linalg.cholesky(Kss, lower=True)
+        pp = jsp_linalg.cho_solve((Lss, True), eye)
+        Lp = jsp_linalg.cholesky(prior_cov, lower=True)
+        prior_prec = jsp_linalg.cho_solve((Lp, True), eye)
+        final_prec = prior_prec + jnp.sum(precs, axis=0) - S * pp
+        prior_mean = jnp.sum(wmeans, axis=0)
+        final_cov = jnp.linalg.inv(final_prec)
+        final_mean = final_cov @ prior_mean
+    return final_mean, final_cov
+
+
+def train_predictor(gprf, test_cov: GPCov | None = None, Y=None,
+                    combine: str = "device"):
     """Returns ``predict(Xstar, test_noise_var=0.0, local=False)`` giving the
     combined posterior (mean, cov) over Y at query locations Xstar."""
+    assert combine in ("device", "host")
     if Y is None:
         Y = gprf.Y
     Y = np.asarray(Y)
@@ -79,11 +132,49 @@ def train_predictor(gprf, test_cov: GPCov | None = None, Y=None):
         gprf.cov,
         jnp.asarray(gprf.noise_var),
     )
-    Kinvs = np.asarray(Kinvs)
-    Alphas = np.asarray(Alphas)
     block_idxs = gprf.layout.block_idxs()
     sizes = gprf.layout.sizes
     neighbor_dict = symmetrize_neighbors(gprf.neighbors)
+
+    def _source_blocks(Xstar):
+        test_block_idxs = gprf.block_fn(Xstar)
+        source_blocks = set()
+        for i, idxs in enumerate(test_block_idxs):
+            if len(idxs) == 0:
+                continue
+            source_blocks.add(i)
+            for j in neighbor_dict[i]:
+                source_blocks.add(j)
+        return sorted(source_blocks)
+
+    if combine == "device":
+        assignment = np.asarray(arrays["assignment"])
+        maskh = np.asarray(arrays["mask"])
+        Xpad = np.asarray(gprf.X)[assignment]  # [B, m, dx]
+
+        def predict(Xstar, test_noise_var: float = 0.0, local: bool = False):
+            Xstar = np.asarray(Xstar)
+            src = np.asarray(_source_blocks(Xstar), dtype=np.int64)
+            expert_nv = gprf.noise_var if test_noise_var > 0 else 0.0
+            mean, cov = _combine_device(
+                jnp.asarray(Xstar),
+                jnp.asarray(Xpad[src]),
+                Kinvs[jnp.asarray(src)],
+                Alphas[jnp.asarray(src)],
+                jnp.asarray(maskh[src]),
+                gprf.cov,
+                test_cov,
+                jnp.asarray(expert_nv, dtype=jnp.result_type(float)),
+                jnp.asarray(test_noise_var, dtype=jnp.result_type(float)),
+            )
+            mean, cov = jax.device_get((mean, cov))
+            return np.array(mean), np.array(cov)
+
+        return predict
+
+    # ---- host-loop oracle (the reference's shape, gprf.py:619-670) --------
+    Kinvs = np.asarray(Kinvs)
+    Alphas = np.asarray(Alphas)
 
     # query-time kernel evaluations are tiny and looped on host; evaluating
     # them on device would pay one transport round-trip each (see
@@ -100,16 +191,7 @@ def train_predictor(gprf, test_cov: GPCov | None = None, Y=None):
         prior_prec = np.linalg.inv(prior_cov)
         prior_mean = np.zeros((Xstar.shape[0], Y.shape[1]))
 
-        test_block_idxs = gprf.block_fn(Xstar)
-        source_blocks = set()
-        for i, idxs in enumerate(test_block_idxs):
-            if len(idxs) == 0:
-                continue
-            source_blocks.add(i)
-            for j in neighbor_dict[i]:
-                source_blocks.add(j)
-
-        for i in sorted(source_blocks):
+        for i in _source_blocks(Xstar):
             nb = int(sizes[i])
             Xi = gprf.X[block_idxs[i]]
             Kinv = Kinvs[i, :nb, :nb]

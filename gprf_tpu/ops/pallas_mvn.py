@@ -148,6 +148,101 @@ def _chol_bwd(interpret, L, dL):
 batched_cholesky_pallas.defvjp(_chol_fwd, _chol_bwd)
 
 
+def _tri_inv_kernel(l_hbm, w_hbm):
+    """Batch-in-lanes lower-triangular inverse W = L^-1.
+
+    In-place forward substitution over one [m, m, T] scratch: at step k the
+    scratch holds W rows < k and L rows >= k; row k of W is
+    (e_k - sum_{j<k} L[k, j] W[j, :]) / L[k, k], a full-width VPU op over
+    the T lanes.  The j<k restriction is a mask on L's row k (rows >= k of
+    the scratch still hold L and must not contribute)."""
+    nb, m, _, T = l_hbm.shape
+
+    def body(scratch, sem_in, sem_out):
+        def tile(i, _):
+            cp_in = pltpu.make_async_copy(l_hbm.at[i], scratch, sem_in)
+            cp_in.start()
+            cp_in.wait()
+
+            def step(k, _):
+                lrow = scratch[pl.ds(k, 1), :, :]  # [1, m, T] = L[k, :]
+                lkk = scratch[pl.ds(k, 1), pl.ds(k, 1), :]  # [1, 1, T]
+                dk_inv = 1.0 / jnp.where(jnp.abs(lkk) > 1e-30, lkk, 1e-30)
+                jidx = jax.lax.broadcasted_iota(jnp.int32, (1, m, T), 1)
+                lk_lower = jnp.where(jidx < k, lrow, 0.0)
+                acc = jnp.sum(
+                    jnp.transpose(lk_lower, (1, 0, 2)) * scratch[:, :, :],
+                    axis=0,
+                    keepdims=True,
+                )  # [1, m, T]: sum_{j<k} L[k,j] W[j,:]
+                ek = (jidx == k).astype(scratch.dtype)
+                scratch[pl.ds(k, 1), :, :] = (ek - acc) * dk_inv
+                return jnp.int32(0)
+
+            jax.lax.fori_loop(jnp.int32(0), jnp.int32(m), step, jnp.int32(0))
+            cp_out = pltpu.make_async_copy(scratch, w_hbm.at[i], sem_out)
+            cp_out.start()
+            cp_out.wait()
+            return jnp.int32(0)
+
+        jax.lax.fori_loop(jnp.int32(0), jnp.int32(nb), tile, jnp.int32(0))
+
+    pl.run_scoped(
+        body,
+        scratch=pltpu.VMEM((m, m, T), l_hbm.dtype),
+        sem_in=pltpu.SemaphoreType.DMA,
+        sem_out=pltpu.SemaphoreType.DMA,
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def batched_tri_inv_pallas(L, interpret: bool = False):
+    """W = L^-1 for a batch of lower-triangular matrices [B, m, m].
+
+    Batch in the 128-wide lane dimension, like
+    :func:`batched_cholesky_pallas`; m beyond the VMEM budget falls back to
+    an XLA triangular solve against the identity."""
+    B, m, _ = L.shape
+    if m > MAX_M_CHOL:
+        eye = jnp.broadcast_to(jnp.eye(m, dtype=L.dtype), L.shape)
+        return jax.lax.linalg.triangular_solve(
+            L, eye, left_side=True, lower=True, transpose_a=False
+        )
+    T = _LANES
+    nb = (B + T - 1) // T
+    padB = nb * T
+    Lp = jnp.concatenate(
+        [L, jnp.broadcast_to(jnp.eye(m, dtype=L.dtype), (padB - B, m, m))], axis=0
+    )
+    Ll = jnp.transpose(Lp.reshape(nb, T, m, m), (0, 2, 3, 1))
+
+    w = pl.pallas_call(
+        _tri_inv_kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=jax.ShapeDtypeStruct((nb, m, m, T), L.dtype),
+        interpret=interpret,
+    )(Ll)
+    return jnp.transpose(w, (0, 3, 1, 2)).reshape(padB, m, m)[:B]
+
+
+def _tri_inv_fwd(L, interpret):
+    W = batched_tri_inv_pallas(L, interpret)
+    return W, W
+
+
+def _tri_inv_bwd(interpret, W, dW):
+    """d(L^-1) = -L^-1 dL L^-1  =>  dL_bar = -tril(W^T dW_bar W^T)."""
+    with jax.default_matmul_precision("highest"):
+        G = -jnp.einsum("bki,bkl,bjl->bij", W, dW, W)
+    m = W.shape[-1]
+    tril = jnp.tril(jnp.ones((m, m), dtype=W.dtype))
+    return (G * tril,)
+
+
+batched_tri_inv_pallas.defvjp(_tri_inv_fwd, _tri_inv_bwd)
+
+
 def _mvn_kernel(k_hbm, y_hbm, nact_hbm, ll_hbm, lt_hbm):
     nb, m, _, T = k_hbm.shape
     dy = y_hbm.shape[2]

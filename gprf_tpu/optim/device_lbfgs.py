@@ -294,7 +294,7 @@ def do_optimization_fused(
     return np.asarray(carry["x"])
 
 
-def do_optimization_fused_seismic(
+def do_optimization_fused_theta(
     d,
     fused,
     theta0,
@@ -304,9 +304,10 @@ def do_optimization_fused_seismic(
     ftol: float = 1e-6,
     resume: bool = False,
 ):
-    """Seismic device-loop driver over a
-    :class:`~gprf_tpu.model.fused_seismic.FusedSeismicGPRF`: the reference
-    file protocol (log.txt, step X/cov checkpoints via the theta unpacking,
+    """Device-loop driver over any theta-packed fused evaluator (seismic
+    :class:`~gprf_tpu.model.fused_seismic.FusedSeismicGPRF` or synthetic
+    :class:`~gprf_tpu.model.fused.FusedSyntheticGPRF`): the reference file
+    protocol (log.txt, step X/cov checkpoints via the theta unpacking,
     covs.txt for hyperparameter trajectories, finished marker) around the
     scan-L-BFGS loop."""
     init_fn, run_fn = make_scan_lbfgs_runner(fused.loss_fn(), steps_per_dispatch)

@@ -68,7 +68,7 @@ def shard_layout_arrays(layout, mesh: Mesh, axis_name: str = "b"):
     for key in ("assignment", "mask", "unary_weights"):
         arrays[key] = jax.device_put(arrays[key], batch_sharding)
     if arrays["pair_assignment"].shape[0] > 0:
-        for key in ("pair_assignment", "pair_mask", "pair_weights"):
+        for key in ("pair_assignment", "pair_mask", "pair_weights", "edges"):
             arrays[key] = jax.device_put(arrays[key], batch_sharding)
     return arrays
 

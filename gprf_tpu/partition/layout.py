@@ -141,6 +141,7 @@ class BlockLayout:
         mask = jnp.asarray(self.mask)
         pair_assignment = jnp.asarray(self.pair_assignment)
         pair_mask = jnp.asarray(self.pair_mask)
+        edges = jnp.asarray(self.edges)
         unary_w = jnp.asarray(self.unary_weights(), dtype=jnp.result_type(float))
         E = self.n_edges
         pair_w = jnp.ones((E,), dtype=unary_w.dtype)
@@ -151,12 +152,14 @@ class BlockLayout:
                 [pair_assignment, jnp.zeros((padn, m2), dtype=jnp.int32)], axis=0
             )
             pair_mask = jnp.concatenate([pair_mask, jnp.zeros((padn, m2), dtype=bool)], axis=0)
+            edges = jnp.concatenate([edges, jnp.zeros((padn, 2), dtype=jnp.int32)], axis=0)
             pair_w = jnp.concatenate([pair_w, jnp.zeros((padn,), dtype=pair_w.dtype)])
         return dict(
             assignment=assignment,
             mask=mask,
             pair_assignment=pair_assignment,
             pair_mask=pair_mask,
+            edges=edges,
             unary_weights=unary_w,
             pair_weights=pair_w,
         )

@@ -1,0 +1,187 @@
+"""FusedSyntheticGPRF: device-engine parity for tasks x/cov/xcov and RPC
+partitions against the host path (GPRF.llgrad + priors + the reference's
+cov_scale/log-space chain rules), plus RPC device-replay label parity."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gprf_tpu.kernels.gpcov import GPCov
+from gprf_tpu.model.fused import FusedSyntheticGPRF
+from gprf_tpu.model.gprf import GPRF
+from gprf_tpu.optim.priors import synthetic_cov_prior
+from gprf_tpu.partition.grid import Blocker, grid_centers
+from gprf_tpu.partition.rpc import cluster_rpc
+from gprf_tpu.partition.rpc_device import FlatRPCTree, assign_blocks_rpc
+
+
+def _labels(blocks, n):
+    lab = np.empty(n, dtype=np.int64)
+    for b, ix in enumerate(blocks):
+        lab[ix] = b
+    return lab
+
+
+def test_rpc_device_replay_matches_host(rng):
+    n = 500
+    X = rng.uniform(size=(n, 2))
+    np.random.seed(0)
+    blocks, splits = cluster_rpc(X, np.arange(n), target_size=60)
+    flat = FlatRPCTree(splits, d=2)
+    assert flat.n_blocks == len(blocks)
+
+    # initial clustering replays exactly
+    dev = np.asarray(
+        assign_blocks_rpc(jnp.asarray(X), flat.device_arrays(jnp.float64),
+                          flat.depth, flat.n_nodes)
+    )
+    np.testing.assert_array_equal(dev, _labels(blocks, n))
+
+    # moved points: device median-replay equals host fixed_split replay
+    Xp = X + rng.standard_normal(X.shape) * 0.03
+    host_blocks = cluster_rpc(Xp, np.arange(n), target_size=60, fixed_split=splits)[0]
+    dev_p = np.asarray(
+        assign_blocks_rpc(jnp.asarray(Xp), flat.device_arrays(jnp.float64),
+                          flat.depth, flat.n_nodes)
+    )
+    np.testing.assert_array_equal(dev_p, _labels(host_blocks, n))
+
+
+def _grid_problem(rng, n=120, nblocks=9, yd=4):
+    SX = rng.uniform(size=(n, 2))
+    X_obs = SX + rng.standard_normal((n, 2)) * 0.02
+    Y = rng.standard_normal((n, yd))
+    centers = np.asarray(grid_centers(nblocks))
+    b = Blocker(centers)
+    cov = GPCov.create([1.0], [0.3, 0.3])
+    edges = b.neighbors()
+    return SX, X_obs, Y, centers, edges, cov
+
+
+def _host_objective(X, FC, SX, X_obs, Y, blocks_fn, edges, cov, noise_var,
+                    obs_std, task):
+    """The host driver's objective (llgrad + priors), reference semantics."""
+    Xc = X if X is not None else SX
+    g = GPRF(Xc, Y, blocks_fn, cov, noise_var,
+             block_idxs=blocks_fn(Xc), neighbors=edges)
+    if FC is not None:
+        g.update_covs(np.asarray(FC))
+    ll = g.llgrad()[0]
+    if task in ("x", "xcov"):
+        r = (X.reshape(-1) - X_obs.reshape(-1)) / obs_std
+        ll += -0.5 * np.sum(r * r) - 0.5 * r.size * np.log(
+            2 * np.pi * obs_std**2
+        )
+    return ll
+
+
+def test_fused_cov_matches_host(rng):
+    """task=cov: locations pinned at SX, theta = log(C)*5, C = (nv,sv,l,l)."""
+    SX, X_obs, Y, centers, edges, cov = _grid_problem(rng)
+    C0 = np.array([[0.015, 1.1, 0.25, 0.35]])
+    fused = FusedSyntheticGPRF(
+        SX, Y, edges, X_obs, 0.02, cov, 0.01, task="cov", C0=C0,
+        centers=centers,
+    )
+    theta0 = fused.theta0()
+    loss = jax.jit(fused.loss_fn())
+    got = -float(loss(jnp.asarray(theta0)))
+
+    b = Blocker(centers)
+    ll = _host_objective(None, C0, SX, X_obs, Y, b.block_clusters, edges,
+                         cov, 0.01, 0.02, task="cov")
+    c = np.log(C0.reshape(-1))
+    ll += synthetic_cov_prior(c)[0]
+    np.testing.assert_allclose(got, ll, rtol=1e-9)
+
+    # unpack_host round-trips
+    X, FC = fused.unpack_host(theta0)
+    assert X is None
+    np.testing.assert_allclose(FC, C0, rtol=1e-12)
+
+
+def test_fused_xcov_matches_host_value_and_grad(rng):
+    """task=xcov: theta = [X.flat, log(lscale)*5]; gradient must reproduce
+    the host chain rules (cov_scale, log-scale, lscale-row collapse)."""
+    SX, X_obs, Y, centers, edges, cov = _grid_problem(rng)
+    C0 = np.array([[0.3]])
+    fused = FusedSyntheticGPRF(
+        X_obs, Y, edges, X_obs, 0.02, cov, 0.01, task="xcov", C0=C0,
+        centers=centers,
+    )
+    theta0 = fused.theta0()
+    loss = jax.jit(fused.loss_fn())
+    val, grad = jax.value_and_grad(loss)(jnp.asarray(theta0))
+    got = -float(val)
+
+    FC = np.array([[0.01, 1.0, 0.3, 0.3]])
+    b = Blocker(centers)
+    g = GPRF(X_obs, Y, b.block_clusters, cov, 0.01,
+             block_idxs=b.block_clusters(X_obs), neighbors=edges)
+    g.update_covs(FC)
+    ll, gX, gC = g.llgrad(grad_X=True, grad_cov=True)
+    r = (X_obs.reshape(-1) - X_obs.reshape(-1)) / 0.02
+    nflat = r.size
+    ll += -0.5 * np.sum(r * r) - 0.5 * nflat * np.log(2 * np.pi * 0.02**2)
+    c = np.log(C0.reshape(-1))
+    pl, pg = synthetic_cov_prior(c)
+    ll += pl
+    np.testing.assert_allclose(got, ll, rtol=1e-9)
+
+    # host gradient: X part plus collapsed/log-scaled/cov_scale'd cov part
+    gX_host = gX.reshape(-1) - r / 0.02  # prior grad is zero at X_obs; keep form
+    np.testing.assert_allclose(
+        -np.asarray(grad[:nflat]), gX_host, rtol=1e-7, atol=1e-9
+    )
+    C = np.exp(c)
+    gC_host = ((gC[:, 2:3] + gC[:, 3:4]).reshape(-1) * C + pg) / 5.0
+    np.testing.assert_allclose(-np.asarray(grad[nflat:]), gC_host, rtol=1e-7)
+
+
+def test_fused_rpc_task_x_matches_host(rng):
+    """RPC partition: the device engine's median-replay objective equals the
+    host path with the same split tree."""
+    n = 200
+    SX = rng.uniform(size=(n, 2))
+    X_obs = SX + rng.standard_normal((n, 2)) * 0.02
+    Y = rng.standard_normal((n, 4))
+    cov = GPCov.create([1.0], [0.3, 0.3])
+    np.random.seed(1)
+    blocks, splits = cluster_rpc(X_obs, np.arange(n), target_size=40)
+
+    def reblock(X):
+        return cluster_rpc(X, np.arange(n), target_size=40, fixed_split=splits)[0]
+
+    g0 = GPRF(X_obs, Y, reblock, cov, 0.01, block_idxs=blocks,
+              neighbor_threshold=0.1)
+    edges = g0.neighbors
+    assert len(edges) > 0
+
+    fused = FusedSyntheticGPRF(
+        X_obs, Y, edges, X_obs, 0.02, cov, 0.01, task="x", rpc_tree=splits,
+    )
+    loss = jax.jit(fused.loss_fn())
+
+    # at a perturbed point (re-blocking differs from the initial partition)
+    Xp = X_obs + rng.standard_normal((n, 2)) * 0.01
+    got = -float(loss(jnp.asarray(Xp.reshape(-1))))
+    ll = _host_objective(Xp, None, SX, X_obs, Y, reblock, edges, cov, 0.01,
+                         0.02, task="x")
+    np.testing.assert_allclose(got, ll, rtol=1e-9)
+
+
+def test_fused_task_x_matches_fusedgrid(rng):
+    """The generalized engine's task=x grid path reproduces FusedGridGPRF."""
+    from gprf_tpu.model.fused import FusedGridGPRF
+
+    SX, X_obs, Y, centers, edges, cov = _grid_problem(rng)
+    f_new = FusedSyntheticGPRF(
+        X_obs, Y, edges, X_obs, 0.02, cov, 0.01, task="x", centers=centers,
+    )
+    f_old = FusedGridGPRF(X_obs, Y, centers, edges, X_obs, 0.02, cov, 0.01)
+    x0 = jnp.asarray(X_obs.reshape(-1))
+    np.testing.assert_allclose(
+        float(jax.jit(f_new.loss_fn())(x0)),
+        float(jax.jit(f_old.loss_fn())(x0)),
+        rtol=1e-12,
+    )

@@ -81,3 +81,48 @@ def test_multi_block_predictor_reasonable(rng):
     # posterior covariance should be PSD-ish
     ev = np.linalg.eigvalsh((covp + covp.T) / 2)
     assert ev.min() > -1e-8
+
+
+def test_device_combine_matches_host_loop(rng):
+    """The batched one-dispatch BCM combination equals the reference-shaped
+    host loop (same experts, same precision pooling)."""
+    from gprf_tpu.model.predict import train_predictor
+
+    n, dy = 80, 3
+    X = rng.uniform(size=(n, 2))
+    K = kernel_np(X, X, 1.0, np.array([0.3, 0.3])) + 0.01 * np.eye(n)
+    L = np.linalg.cholesky(K)
+    Y = L @ rng.normal(size=(n, dy))
+    cov = GPCov.create([1.0], [0.3, 0.3])
+    b = Blocker(grid_centers(4))
+    g = GPRF(X, Y, b.block_clusters, cov, 0.01,
+             block_idxs=b.block_clusters(X), neighbors=b.neighbors())
+    Xstar = rng.uniform(size=(7, 2))
+
+    p_dev = train_predictor(g, combine="device")
+    p_host = train_predictor(g, combine="host")
+    for tnv in (0.0, 0.02):
+        m_d, c_d = p_dev(Xstar, test_noise_var=tnv)
+        m_h, c_h = p_host(Xstar, test_noise_var=tnv)
+        np.testing.assert_allclose(m_d, m_h, rtol=1e-8, atol=1e-10)
+        np.testing.assert_allclose(c_d, c_h, rtol=1e-8, atol=1e-10)
+
+
+def test_device_combine_with_test_cov(rng):
+    """Prior built from test_cov, experts from the model cov (the reference
+    distinction at gprf.py:621 vs 649) survives the batched path."""
+    from gprf_tpu.model.predict import train_predictor
+
+    n, dy = 50, 2
+    X = rng.uniform(size=(n, 2))
+    Y = rng.normal(size=(n, dy))
+    cov = GPCov.create([1.0], [0.3, 0.3])
+    test_cov = GPCov.create([1.3], [0.4, 0.4])
+    b = Blocker(grid_centers(4))
+    g = GPRF(X, Y, b.block_clusters, cov, 0.05,
+             block_idxs=b.block_clusters(X), neighbors=b.neighbors())
+    Xstar = rng.uniform(size=(6, 2))
+    m_d, c_d = train_predictor(g, test_cov=test_cov, combine="device")(Xstar, 0.01)
+    m_h, c_h = train_predictor(g, test_cov=test_cov, combine="host")(Xstar, 0.01)
+    np.testing.assert_allclose(m_d, m_h, rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(c_d, c_h, rtol=1e-8, atol=1e-10)

@@ -104,3 +104,100 @@ def test_sharded_training_step(rng, mesh):
     X2, opt_state, l1 = step(X1, opt_state)
     assert np.isfinite(float(l0)) and np.isfinite(float(l1))
     assert not np.allclose(np.asarray(X2), np.asarray(X))
+
+
+# ---- sharded fused engine (the flagship path: fused Schur + scan-L-BFGS) ----
+
+
+def _fused_problem(rng, mesh_arg, n=96, nblocks=9):
+    from gprf_tpu.model.fused import FusedGridGPRF
+    from gprf_tpu.partition.grid import grid_centers
+
+    X_obs = rng.uniform(size=(n, 2))
+    Y = rng.standard_normal((n, 4))
+    centers = np.asarray(grid_centers(nblocks))
+    b = Blocker(centers)
+    cov = GPCov.create([1.0], [0.3, 0.3])
+    return FusedGridGPRF(
+        X_obs, Y, centers, b.neighbors(), X_obs, 0.02, cov, 0.01, mesh=mesh_arg
+    ), X_obs
+
+
+def test_sharded_fused_loss_matches_single_device(rng, mesh):
+    """The fused Schur objective under the mesh equals the single-device
+    value (padding is zero-weight => exact, not approximate)."""
+    fused_m, X_obs = _fused_problem(rng, mesh)
+    rng2 = np.random.default_rng(0)
+    fused_1, _ = _fused_problem(rng2, None)
+    x0 = jnp.asarray(X_obs.reshape(-1))
+    l_m = float(jax.jit(fused_m.loss_fn())(x0))
+    l_1 = float(jax.jit(fused_1.loss_fn())(x0))
+    assert np.isfinite(l_m)
+    np.testing.assert_allclose(l_m, l_1, rtol=1e-10)
+
+
+def test_sharded_fused_grad_matches_single_device(rng, mesh):
+    fused_m, X_obs = _fused_problem(rng, mesh)
+    rng2 = np.random.default_rng(0)
+    fused_1, _ = _fused_problem(rng2, None)
+    x0 = jnp.asarray(X_obs.reshape(-1))
+    g_m = np.asarray(jax.jit(jax.grad(fused_m.loss_fn()))(x0))
+    g_1 = np.asarray(jax.jit(jax.grad(fused_1.loss_fn()))(x0))
+    np.testing.assert_allclose(g_m, g_1, rtol=1e-8, atol=1e-10)
+
+
+def test_sharded_scan_lbfgs_trajectory_matches(rng, mesh):
+    """The full device optimizer loop (scan-L-BFGS over the sharded fused
+    Schur loss) reproduces the single-device trajectory."""
+    from gprf_tpu.optim.device_lbfgs import make_scan_lbfgs_runner
+
+    fused_m, X_obs = _fused_problem(rng, mesh)
+    rng2 = np.random.default_rng(0)
+    fused_1, _ = _fused_problem(rng2, None)
+    x0 = jnp.asarray(X_obs.reshape(-1))
+
+    trajs = []
+    finals = []
+    for fused in (fused_m, fused_1):
+        init_fn, run_fn = make_scan_lbfgs_runner(fused.loss_fn(), num_steps=6)
+        carry = init_fn(x0)
+        vals = []
+        for _ in range(2):  # two dispatches: state round-trips between them
+            carry, (v, ok, gn) = run_fn(carry)
+            vals.append(np.asarray(v))
+        trajs.append(np.concatenate(vals))
+        finals.append(np.asarray(carry["x"]))
+    np.testing.assert_allclose(trajs[0], trajs[1], rtol=1e-8)
+    np.testing.assert_allclose(finals[0], finals[1], rtol=1e-7, atol=1e-9)
+    assert trajs[0][-1] < trajs[0][0]  # actually optimizing
+
+
+def test_sharded_fused_seismic_loss(rng, mesh):
+    """The seismic fused engine (PD-tree replay + lld/matern32 Schur
+    objective + priors) under the mesh equals single-device."""
+    from gprf_tpu.data.seismic import COL_DEPTH, COL_LAT, COL_LON, make_synthetic_catalog
+    from gprf_tpu.model.fused_seismic import FusedSeismicGPRF
+    from gprf_tpu.partition.pdtree import PDTree, wrap_lon
+
+    cat = make_synthetic_catalog(n=160, seed=3)
+    X_true = cat[:, (COL_LON, COL_LAT, COL_DEPTH)]
+    prior_std = 20.0 * np.array([0.01, 0.01, 1.0])
+    X0 = X_true + rng.standard_normal(X_true.shape) * prior_std
+    Y = rng.standard_normal((160, 6))
+    cov = GPCov.create([1.0], [40.0, 40.0], "lld", "matern32")
+    X2 = X0[:, :2].copy()
+    X2[:, 0] = wrap_lon(X2[:, 0])
+    tree = PDTree(X2, minsize=50)
+    edges = [(1, 0), (2, 0), (2, 1)]
+    C0 = np.array([0.1, 1.0, 40.0, 40.0])
+
+    losses = []
+    for mesh_arg in (mesh, None):
+        fused = FusedSeismicGPRF(
+            X0, Y, tree, edges, X0, prior_std, cov, 0.1,
+            task="xcov", mesh=mesh_arg,
+        )
+        theta0 = jnp.asarray(fused.theta0(X0, C0), dtype=fused.dtype)
+        losses.append(float(jax.jit(fused.loss_fn())(theta0)))
+    assert np.isfinite(losses[0])
+    np.testing.assert_allclose(losses[0], losses[1], rtol=1e-8)
