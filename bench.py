@@ -65,6 +65,12 @@ def build_problem(n=10000, nblocks=100, yd=50, lscale=0.06, obs_std=0.02, seed=0
     cov = GPCov.create([1.0], [lscale, lscale])
     b = Blocker(grid_centers(nblocks))
     blocks = b.block_clusters(X_obs)
+    # axis-only edges: the reference's diag_connections=True numerically
+    # collapses to axis-only at this grid (self-distance roundoff poisons
+    # its threshold — reproduced from /root/reference/block_clustering.py:4
+    # arithmetic verbatim: 180 edges), so the BASELINE 7.30 s/eval timed the
+    # 180-edge workload.  Our neighbors() fixes the intent; the bench pins
+    # the reference-matched workload for an apples-to-apples rate.
     gprf = GPRF(
         X_obs,
         Y,
@@ -72,7 +78,7 @@ def build_problem(n=10000, nblocks=100, yd=50, lscale=0.06, obs_std=0.02, seed=0
         cov=cov,
         noise_var=0.01,
         block_idxs=blocks,
-        neighbors=b.neighbors(diag_connections=True),
+        neighbors=b.neighbors(diag_connections=False),
     )
     return gprf, X_obs, obs_std
 
@@ -90,8 +96,8 @@ def main():
 
     b = Blocker(grid_centers(100))
     fused = FusedGridGPRF(
-        X_obs, gprf.Y, b.block_centers, b.neighbors(), X_obs, obs_std,
-        gprf.cov, gprf.noise_var,
+        X_obs, gprf.Y, b.block_centers, b.neighbors(diag_connections=False),
+        X_obs, obs_std, gprf.cov, gprf.noise_var,
     )
     flat_obs = X_obs.flatten()
 

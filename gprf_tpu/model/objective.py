@@ -150,18 +150,22 @@ def _schur_ll(
 
     # wide matrices go through panel-blocked primitives: XLA's monolithic
     # cholesky/triangular_solve exceed scoped VMEM at f64 for m ~ 1000, and
-    # the blocked trailing updates are MXU matmuls anyway.  On TPU f32 the
-    # panels themselves use the batch-in-lanes Pallas kernels (diagonal
-    # factorization + triangular inverse), which turns every panel solve
-    # into an MXU matmul — this is what lifts the old m <= 168 Pallas cap.
-    from gprf_tpu.ops.pallas_mvn import MAX_M_CHOL
+    # the blocked trailing updates are MXU matmuls anyway.  A lanes-kernel
+    # panel variant exists (gprf_tpu.linalg.lanes_blocked) but LOSES to the
+    # XLA panels at wide m on v5e (measured 355 vs 156 ms/eval at the 80k
+    # shapes: many small pallas dispatches, half-empty lane tiles, while
+    # XLA is already MXU-bound at ~18% f32 MFU there) — keep it opt-in.
+    import os
 
     f64 = jnp.result_type(X.dtype) == jnp.float64
     m_pad = assignment.shape[1]
-    use_lanes_blocked = use_pallas and not f64 and m_pad > MAX_M_CHOL
+    use_lanes_blocked = (
+        use_pallas and not f64
+        and os.environ.get("GPRF_WIDE_LANES", "0") == "1"
+    )
     wide = m_pad > 512 or f64
 
-    if use_lanes_blocked:
+    if use_lanes_blocked and wide:
         from gprf_tpu.linalg.lanes_blocked import (
             blocked_cholesky_lanes,
             blocked_tri_solve_lanes,

@@ -63,6 +63,11 @@ class Blocker:
         if self.n_blocks <= 1:
             return []
         center_distances = pair_distances(self.block_centers, self.block_centers)
+        # the quadratic-expansion distance leaves ~1e-9 roundoff on the
+        # diagonal (self-distances), which a `> 0` filter would keep as the
+        # "smallest distance" and collapse the diagonal threshold onto the
+        # axis one — zero self-distances exactly first
+        np.fill_diagonal(center_distances, 0.0)
         cc = center_distances.flatten()
         cc = cc[cc > 0]
         min_dist = np.min(cc) + 1e-6
