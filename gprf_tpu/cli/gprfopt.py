@@ -35,6 +35,7 @@ def do_run(
     obs_std=None,
     local_dist=1.0,
     maxsec=3600,
+    max_iters=400,
     task="x",
     analyze_only=False,
     analyze_full=False,
@@ -136,7 +137,7 @@ def do_run(
 
             fused = make_fused()
             if task == "x":
-                x_final = do_optimization_fused(d, fused, X0, maxsec=maxsec)
+                x_final = do_optimization_fused(d, fused, X0, maxsec=maxsec, max_iters=max_iters)
                 if refine_iters > 0:
                     from gprf_tpu.optim.device_lbfgs import refine_f64
                     from gprf_tpu.optim.driver import load_log
@@ -149,7 +150,7 @@ def do_run(
                         "--refine_iters currently applies to task=x device runs"
                     )
                 theta0 = fused.theta0()
-                do_optimization_fused_theta(d, fused, theta0, maxsec=maxsec)
+                do_optimization_fused_theta(d, fused, theta0, maxsec=maxsec, max_iters=max(max_iters, 600))
         elif gplvm_type != "gprf":
             from gprf_tpu.model.sgplvm import do_sgplvm
 
@@ -234,6 +235,7 @@ def build_parser():
     parser.add_argument("--seed", dest="seed", default=0, type=int, help="seed for generating synthetic data")
     parser.add_argument("--yd", dest="yd", default=50, type=int, help="number of output dimensions to sample")
     parser.add_argument("--maxsec", dest="maxsec", default=3600, type=int, help="maximum seconds to run the optimization")
+    parser.add_argument("--max_iters", dest="max_iters", default=400, type=int, help="device engine: max scan-L-BFGS iterations")
     parser.add_argument("--task", dest="task", default="x", type=str, help="'x', 'cov', or 'xcov'")
     parser.add_argument("--analyze", dest="analyze", default=False, action="store_true", help="only analyze existing saved results")
     parser.add_argument("--analyze_full", dest="analyze_full", default=False, action="store_true", help="fuller analysis incl. predictive accuracy")
@@ -266,6 +268,7 @@ def main(argv=None):
         rpc_blocksize=args.rpc_blocksize,
         seed=args.seed,
         maxsec=args.maxsec,
+        max_iters=args.max_iters,
         analyze_only=args.analyze,
         analyze_full=args.analyze_full,
         task=args.task,

@@ -126,21 +126,19 @@ def _chol_fwd(K, interpret):
 def _chol_bwd(interpret, L, dL):
     """Standard Cholesky pullback (the same symmetric-output formula XLA
     uses): with P = phi(L^T dL) (lower triangle, halved diagonal),
-    dK = L^-T (P + P^T)/2 L^-1 symmetrized."""
+    dK = L^-T (P + P^T)/2 L^-1 symmetrized.
+
+    The two triangular solves are evaluated as W^T sym W with W = L^-1 from
+    the lanes triangular-inverse kernel — XLA's batched triangular_solve
+    serializes over the batch, the matmul rides the MXU."""
     m = L.shape[-1]
     with jax.default_matmul_precision("highest"):
         P = jnp.einsum("bki,bkj->bij", L, dL)
         tril = jnp.tril(jnp.ones((m, m), dtype=L.dtype))
         phi = P * tril - 0.5 * jnp.eye(m, dtype=L.dtype) * P
         sym = 0.5 * (phi + jnp.swapaxes(phi, -1, -2))
-
-        def solve_both(Lb, Sb):
-            tmp = jax.scipy.linalg.solve_triangular(Lb, Sb, lower=True, trans=1)
-            return jax.scipy.linalg.solve_triangular(
-                Lb, tmp.T, lower=True, trans=1
-            ).T
-
-        dK = jax.vmap(solve_both)(L, sym)
+        W = batched_tri_inv_pallas(L, interpret)
+        dK = jnp.einsum("bki,bkl,blj->bij", W, sym, W)  # W^T sym W
         dK = 0.5 * (dK + jnp.swapaxes(dK, -1, -2))
     return (dK,)
 
@@ -148,51 +146,79 @@ def _chol_bwd(interpret, L, dL):
 batched_cholesky_pallas.defvjp(_chol_fwd, _chol_bwd)
 
 
-def _tri_inv_kernel(l_hbm, w_hbm):
-    """Batch-in-lanes lower-triangular inverse W = L^-1.
+def _tri_inv_kernel(l_hbm, w_hbm, *, cols: int):
+    """Batch-in-lanes lower-triangular inverse W = L^-1, column-paneled.
 
-    In-place forward substitution over one [m, m, T] scratch: at step k the
-    scratch holds W rows < k and L rows >= k; row k of W is
-    (e_k - sum_{j<k} L[k, j] W[j, :]) / L[k, k], a full-width VPU op over
-    the T lanes.  The j<k restriction is a mask on L's row k (rows >= k of
-    the scratch still hold L and must not contribute)."""
-    nb, m, _, T = l_hbm.shape
+    L stays resident in one [m, m, T] scratch; W is produced in [m, cols, T]
+    panels (output laid out panel-major [nb, ncp, m, cols, T] so each panel
+    is one contiguous DMA).  Panel j solves L W_panel = E_panel by forward
+    substitution starting at row j*cols — all earlier rows of the panel are
+    identically zero (W is lower triangular), which halves the VPU work and
+    keeps scratch VMEM at L + one panel (the full [m, m, T] W would not fit
+    alongside L at m ~ 136)."""
+    nb, ncp, m, _, T = w_hbm.shape
 
-    def body(scratch, sem_in, sem_out):
+    def body(l_scr, w_scr, sem_in, sem_out):
         def tile(i, _):
-            cp_in = pltpu.make_async_copy(l_hbm.at[i], scratch, sem_in)
+            cp_in = pltpu.make_async_copy(l_hbm.at[i], l_scr, sem_in)
             cp_in.start()
             cp_in.wait()
 
-            def step(k, _):
-                lrow = scratch[pl.ds(k, 1), :, :]  # [1, m, T] = L[k, :]
-                lkk = scratch[pl.ds(k, 1), pl.ds(k, 1), :]  # [1, 1, T]
-                dk_inv = 1.0 / jnp.where(jnp.abs(lkk) > 1e-30, lkk, 1e-30)
-                jidx = jax.lax.broadcasted_iota(jnp.int32, (1, m, T), 1)
-                lk_lower = jnp.where(jidx < k, lrow, 0.0)
-                acc = jnp.sum(
-                    jnp.transpose(lk_lower, (1, 0, 2)) * scratch[:, :, :],
-                    axis=0,
-                    keepdims=True,
-                )  # [1, m, T]: sum_{j<k} L[k,j] W[j,:]
-                ek = (jidx == k).astype(scratch.dtype)
-                scratch[pl.ds(k, 1), :, :] = (ek - acc) * dk_inv
+            def panel(j, _):
+                j0 = j * cols
+                w_scr[:, :, :] = jnp.zeros((m, cols, T), dtype=w_scr.dtype)
+
+                def step(k, _):
+                    # L is lower-triangular and w rows >= k are still zero,
+                    # so the unmasked contraction sums exactly j0 <= l < k.
+                    # All scalar literals pinned to the ref dtype: under
+                    # jax_enable_x64 a weak Python float traces as an f64
+                    # constant whose f32 conversion Mosaic cannot legalize.
+                    dt = w_scr.dtype
+                    one = jnp.asarray(1.0, dt)
+                    tiny = jnp.asarray(1e-30, dt)
+                    lrow = l_scr[pl.ds(k, 1), :, :]  # [1, m, T] = L[k, :]
+                    lkk = l_scr[pl.ds(k, 1), pl.ds(k, 1), :]  # [1, 1, T]
+                    dk_inv = one / jnp.where(jnp.abs(lkk) > tiny, lkk, tiny)
+                    acc = jnp.sum(
+                        jnp.transpose(lrow, (1, 0, 2)) * w_scr[:, :, :],
+                        axis=0,
+                        keepdims=True,
+                    )  # [1, cols, T]
+                    cidx = jax.lax.broadcasted_iota(jnp.int32, (1, cols, T), 1)
+                    ek = (cidx + j0 == k).astype(dt)
+                    w_scr[pl.ds(k, 1), :, :] = (ek - acc) * dk_inv
+                    return jnp.int32(0)
+
+                jax.lax.fori_loop(j0, jnp.int32(m), step, jnp.int32(0))
+                cp_out = pltpu.make_async_copy(w_scr, w_hbm.at[i, j], sem_out)
+                cp_out.start()
+                cp_out.wait()
                 return jnp.int32(0)
 
-            jax.lax.fori_loop(jnp.int32(0), jnp.int32(m), step, jnp.int32(0))
-            cp_out = pltpu.make_async_copy(scratch, w_hbm.at[i], sem_out)
-            cp_out.start()
-            cp_out.wait()
+            jax.lax.fori_loop(jnp.int32(0), jnp.int32(ncp), panel, jnp.int32(0))
             return jnp.int32(0)
 
         jax.lax.fori_loop(jnp.int32(0), jnp.int32(nb), tile, jnp.int32(0))
 
     pl.run_scoped(
         body,
-        scratch=pltpu.VMEM((m, m, T), l_hbm.dtype),
+        l_scr=pltpu.VMEM((m, m, T), l_hbm.dtype),
+        w_scr=pltpu.VMEM((m, cols, T), l_hbm.dtype),
         sem_in=pltpu.SemaphoreType.DMA,
         sem_out=pltpu.SemaphoreType.DMA,
     )
+
+
+def _tri_inv_cols(m: int, budget_bytes: int = 14 * 1024 * 1024) -> int:
+    """Largest panel width (multiple of 8, <= 64) whose L + panel scratch
+    fits the VMEM budget.  The panel is charged twice: the substitution
+    step's broadcast-multiply materializes one [m, cols, T] temporary
+    alongside the panel itself (observed in Mosaic's scoped-vmem
+    accounting)."""
+    l_bytes = m * m * _LANES * 4
+    c = (budget_bytes - l_bytes) // (2 * m * _LANES * 4)
+    return max(8, min(64, int(c) // 8 * 8))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
@@ -216,14 +242,22 @@ def batched_tri_inv_pallas(L, interpret: bool = False):
     )
     Ll = jnp.transpose(Lp.reshape(nb, T, m, m), (0, 2, 3, 1))
 
+    cols = _tri_inv_cols(m)
+    ncp = (m + cols - 1) // cols
     w = pl.pallas_call(
-        _tri_inv_kernel,
+        functools.partial(_tri_inv_kernel, cols=cols),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
-        out_shape=jax.ShapeDtypeStruct((nb, m, m, T), L.dtype),
+        out_shape=jax.ShapeDtypeStruct((nb, ncp, m, cols, T), L.dtype),
         interpret=interpret,
     )(Ll)
-    return jnp.transpose(w, (0, 3, 1, 2)).reshape(padB, m, m)[:B]
+    # buffer-assignment guard: without the barrier XLA stack-allocates this
+    # output in VMEM next to the kernel's own scratch (fusing it into the
+    # consumer) and blows the 16 MB scoped budget at m ~ 136
+    w = jax.lax.optimization_barrier(w)
+    # panel-major -> [padB, m, ncp*cols], crop the column padding
+    w = jnp.transpose(w, (0, 4, 2, 1, 3)).reshape(padB, m, ncp * cols)
+    return w[:B, :, :m]
 
 
 def _tri_inv_fwd(L, interpret):
@@ -381,13 +415,11 @@ def _mvn_bwd(interpret, res, g):
     L, Ym = res
     dy = Ym.shape[2]
     with jax.default_matmul_precision("highest"):
-        alpha = jax.scipy.linalg.cho_solve((L, True), Ym)
-
-        def kinv(Lb):
-            eye = jnp.eye(Lb.shape[-1], dtype=Lb.dtype)
-            return jax.scipy.linalg.cho_solve((Lb, True), eye)
-
-        Kinv = jax.vmap(kinv)(L)
+        # K^-1 = W^T W and alpha = W^T (W Ym) with W = L^-1 from the lanes
+        # kernel: all solves become MXU matmuls (see _chol_bwd)
+        W = batched_tri_inv_pallas(L, interpret)
+        alpha = jnp.einsum("bki,bkd->bid", W, jnp.einsum("bij,bjd->bid", W, Ym))
+        Kinv = jnp.einsum("bki,bkj->bij", W, W)
         gb = g[:, None, None]
         dK = gb * 0.5 * (jnp.einsum("bik,bjk->bij", alpha, alpha) - dy * Kinv)
         dYm = -gb * alpha

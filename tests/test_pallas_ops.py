@@ -207,3 +207,18 @@ def test_blocked_lanes_gradients(rng):
         np.asarray(jax.grad(f_lanes)(A)), np.asarray(jax.grad(f_ref)(A)),
         rtol=1e-7, atol=1e-9,
     )
+
+
+def test_pallas_tri_inv_multi_panel(rng):
+    """m large enough that the column-paneled kernel runs ncp > 1 panels."""
+    m = 136  # flagship width; cols=64 -> 3 panels incl. a padded one
+    K = _spd_batch(rng, 2, m)
+    L = np.linalg.cholesky(K)
+    from gprf_tpu.ops.pallas_mvn import batched_tri_inv_pallas
+
+    W = np.asarray(batched_tri_inv_pallas(jnp.asarray(L), True))
+    np.testing.assert_allclose(
+        np.einsum("bij,bjk->bik", W, L),
+        np.broadcast_to(np.eye(m), (2, m, m)),
+        rtol=1e-8, atol=1e-9,
+    )
