@@ -27,10 +27,24 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+
+# measured-and-lost alternative (kept opt-in for re-measurement, like
+# GPRF_WIDE_LANES): route the pair term through the fused chol+inv kernel +
+# MXU-matmul solve instead of the fused MVN kernel.  15.5 vs 4.8 ms/eval at
+# the flagship config — the explicit inverse is wasted work for a pair
+# block whose factor is used once against dy=50 rhs columns, while the
+# unary factors' inverses are reused by every incident edge.  Read once at
+# import (A/B by running bench.py in a fresh process with the env set).
+_PAIR_CHOLINV = os.environ.get("GPRF_PAIR_CHOLINV", "0") == "1"
+
+# measurement toggle: unary factors via lanes Cholesky + recursive-doubling
+# XLA triangular inverse instead of the fused chol+inv lanes kernel.
+_UNARY_DOUBLING = os.environ.get("GPRF_UNARY_DOUBLING", "0") == "1"
 
 from gprf_tpu.kernels.covfn import cross_kernel_matrix
 from gprf_tpu.kernels.gpcov import GPCov
@@ -155,8 +169,6 @@ def _schur_ll(
     # XLA panels at wide m on v5e (measured 355 vs 156 ms/eval at the 80k
     # shapes: many small pallas dispatches, half-empty lane tiles, while
     # XLA is already MXU-bound at ~18% f32 MFU there) — keep it opt-in.
-    import os
-
     f64 = jnp.result_type(X.dtype) == jnp.float64
     m_pad = assignment.shape[1]
     use_lanes_blocked = (
@@ -215,14 +227,21 @@ def _schur_ll(
             # sequential steps with the batch in an outer loop — measured
             # ~5 ms at [180, 136, 136] vs ~0.3 ms as a matmul).  kappa(L) =
             # sqrt(kappa(K)) stays small under the noise-variance jitter,
-            # so the explicit inverse is numerically benign here.
-            from gprf_tpu.ops.pallas_mvn import (
-                batched_cholesky_pallas,
-                batched_tri_inv_pallas,
-            )
+            # so the explicit inverse is numerically benign here.  The
+            # fused chol+inv kernel produces both factors in one dispatch
+            # and its VJP is einsum-only (no Pallas in the backward).
+            if _UNARY_DOUBLING:
+                # measurement variant: lanes Cholesky + recursive-doubling
+                # XLA inverse (O(log m) sequential depth on the MXU)
+                from gprf_tpu.linalg.doubling import batched_tri_inv_doubling
+                from gprf_tpu.ops.pallas_mvn import batched_cholesky_pallas
 
-            Ls = batched_cholesky_pallas(Kp)  # custom-VJP pallas factorization
-            Ws = batched_tri_inv_pallas(Ls)
+                Ls = batched_cholesky_pallas(Kp)
+                Ws = batched_tri_inv_doubling(Ls)
+            else:
+                from gprf_tpu.ops.pallas_mvn import batched_chol_inv_pallas
+
+                Ls, Ws = batched_chol_inv_pallas(Kp)
             Zs = jnp.einsum("bij,bjd->bid", Ws, Ym)
         else:
             Ls = chol(Kp)
@@ -259,13 +278,29 @@ def _schur_ll(
             S = Kp[ej] - jnp.einsum("eki,ekj->eij", Bm, Bm)
             rhs = Ym[ej] - jnp.einsum("eki,ekd->eid", Bm, Zs[ei])
             nbj = jnp.sum(maskf[ej], axis=1)
-            if pair_pallas:
+            if pair_pallas and not _PAIR_CHOLINV:
                 # ll_pair = (i-side unary pieces) + MVN(S, rhs): the fused
                 # batch-in-lanes kernel computes chol+solve+reductions in one
                 from gprf_tpu.ops.pallas_mvn import batched_mvn_ll_pallas
 
                 mvn_s = batched_mvn_ll_pallas(S, rhs, nbj)
                 pair_ll = unary_ll[ei] + mvn_s.astype(acc)
+            elif pair_pallas:
+                # variant under measurement (GPRF_PAIR_CHOLINV=1): factor S
+                # with the fused chol+inv kernel and do the solve as an MXU
+                # matmul; backward is dispatch-free einsums
+                from gprf_tpu.ops.pallas_mvn import batched_chol_inv_pallas
+
+                Lsc, Wsc = batched_chol_inv_pallas(S)
+                z2 = jnp.einsum("eij,ejd->eid", Wsc, rhs)
+                quadp = quads[ei] + jnp.sum((z2 * z2).astype(acc), axis=(1, 2))
+                logdetp = logdets[ei] + 2.0 * jnp.sum(
+                    jnp.log(jnp.diagonal(Lsc, axis1=1, axis2=2)).astype(acc), axis=1
+                )
+                nbp = nbs[ei] + nbj.astype(acc)
+                pair_ll = (
+                    -0.5 * quadp - 0.5 * dy * logdetp - 0.5 * dy * nbp * _LOG2PI
+                )
             else:
                 Lsc = chol(S)
                 z2 = tri_solve(Lsc, rhs)

@@ -31,11 +31,26 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+# measurement toggle: compute the W = L^-1 needed inside the custom VJPs
+# with the recursive-doubling XLA formulation (O(log m) sequential depth,
+# MXU matmuls) instead of the lanes substitution kernel.  Read once at
+# import; A/B via bench.py in fresh processes.
+_TRI_DOUBLING = os.environ.get("GPRF_TRI_DOUBLING", "0") == "1"
+
+
+def _tri_inv_for_vjp(L, interpret: bool):
+    if _TRI_DOUBLING:
+        from gprf_tpu.linalg.doubling import batched_tri_inv_doubling
+
+        return batched_tri_inv_doubling(L)
+    return batched_tri_inv_pallas(L, interpret)
 
 _LOG_2PI = math.log(2.0 * math.pi)
 _LANES = 128
@@ -137,7 +152,7 @@ def _chol_bwd(interpret, L, dL):
         tril = jnp.tril(jnp.ones((m, m), dtype=L.dtype))
         phi = P * tril - 0.5 * jnp.eye(m, dtype=L.dtype) * P
         sym = 0.5 * (phi + jnp.swapaxes(phi, -1, -2))
-        W = batched_tri_inv_pallas(L, interpret)
+        W = _tri_inv_for_vjp(L, interpret)
         dK = jnp.einsum("bki,bkl,blj->bij", W, sym, W)  # W^T sym W
         dK = 0.5 * (dK + jnp.swapaxes(dK, -1, -2))
     return (dK,)
@@ -275,6 +290,166 @@ def _tri_inv_bwd(interpret, W, dW):
 
 
 batched_tri_inv_pallas.defvjp(_tri_inv_fwd, _tri_inv_bwd)
+
+
+def _chol_inv_kernel(k_hbm, lt_hbm, w_hbm, *, cols: int):
+    """Fused batch-in-lanes Cholesky + triangular inverse.
+
+    One VMEM residency of K does both: the right-looking factorization
+    (identical to :func:`_chol_kernel`) leaves ``a_scr = L^T``; the
+    column-paneled forward substitution of :func:`_tri_inv_kernel` then
+    reads L's rows as a_scr's *columns* (``L[k, l] = a_scr[l, k]``), so no
+    transpose or second HBM round-trip of the factor is needed.  Fusing the
+    two kernels saves one dispatch + one [B, m, m] HBM write/read per factor
+    batch, and — through the custom VJP on the wrapper — removes the
+    backward pass's re-computation of W entirely."""
+    nb, m, _, T = k_hbm.shape
+    ncp = w_hbm.shape[1]
+
+    def body(a_scr, w_scr, sem_in, sem_lt, sem_w):
+        def tile(i, _):
+            cp_in = pltpu.make_async_copy(k_hbm.at[i], a_scr, sem_in)
+            cp_in.start()
+            cp_in.wait()
+
+            def step(k, _):
+                akk = a_scr[pl.ds(k, 1), pl.ds(k, 1), :]  # [1, 1, T]
+                dk_inv = jax.lax.rsqrt(jnp.maximum(akk, 1e-30))
+                row_k = a_scr[pl.ds(k, 1), :, :]  # [1, m, T]
+                jidx = jax.lax.broadcasted_iota(jnp.int32, (1, m, T), 1)
+                col = jnp.where(jidx >= k, row_k * dk_inv, 0.0)
+                a_scr[pl.ds(k, 1), :, :] = col  # L^T row k
+                colu = jnp.where(jidx > k, col, 0.0)
+                iidx = jax.lax.broadcasted_iota(jnp.int32, (m, 1, T), 0)
+                lcol = jnp.where(iidx > k, jnp.transpose(colu, (1, 0, 2)), 0.0)
+                a_scr[:, :, :] = a_scr[:, :, :] - lcol * colu
+                return jnp.int32(0)
+
+            jax.lax.fori_loop(jnp.int32(0), jnp.int32(m), step, jnp.int32(0))
+            cp_lt = pltpu.make_async_copy(a_scr, lt_hbm.at[i], sem_lt)
+            cp_lt.start()
+
+            def panel(j, _):
+                j0 = j * cols
+                w_scr[:, :, :] = jnp.zeros((m, cols, T), dtype=w_scr.dtype)
+
+                def istep(k, _):
+                    dt = w_scr.dtype
+                    one = jnp.asarray(1.0, dt)
+                    tiny = jnp.asarray(1e-30, dt)
+                    # L[k, :] is column k of a_scr (= L^T): [m, 1, T]
+                    lcolk = a_scr[:, pl.ds(k, 1), :]
+                    lkk = a_scr[pl.ds(k, 1), pl.ds(k, 1), :]  # [1, 1, T]
+                    dk_inv = one / jnp.where(jnp.abs(lkk) > tiny, lkk, tiny)
+                    acc = jnp.sum(
+                        lcolk * w_scr[:, :, :], axis=0, keepdims=True
+                    )  # [1, cols, T]
+                    cidx = jax.lax.broadcasted_iota(jnp.int32, (1, cols, T), 1)
+                    ek = (cidx + j0 == k).astype(dt)
+                    w_scr[pl.ds(k, 1), :, :] = (ek - acc) * dk_inv
+                    return jnp.int32(0)
+
+                jax.lax.fori_loop(j0, jnp.int32(m), istep, jnp.int32(0))
+                cp_w = pltpu.make_async_copy(w_scr, w_hbm.at[i, j], sem_w)
+                cp_w.start()
+                cp_w.wait()
+                return jnp.int32(0)
+
+            jax.lax.fori_loop(jnp.int32(0), jnp.int32(ncp), panel, jnp.int32(0))
+            cp_lt.wait()
+            return jnp.int32(0)
+
+        jax.lax.fori_loop(jnp.int32(0), jnp.int32(nb), tile, jnp.int32(0))
+
+    pl.run_scoped(
+        body,
+        a_scr=pltpu.VMEM((m, m, T), k_hbm.dtype),
+        w_scr=pltpu.VMEM((m, cols, T), k_hbm.dtype),
+        sem_in=pltpu.SemaphoreType.DMA,
+        sem_lt=pltpu.SemaphoreType.DMA,
+        sem_w=pltpu.SemaphoreType.DMA,
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def batched_chol_inv_pallas(K, interpret: bool = False):
+    """(L, W) with L = chol(K) (lower) and W = L^-1, for SPD [B, m, m].
+
+    One fused lanes kernel produces both; the custom VJP pulls cotangents
+    of *both* outputs back to K using only MXU einsums of the saved (L, W)
+    — no triangular solves and no Pallas invocations in the backward.
+    Falls back to XLA cholesky + triangular_solve beyond the VMEM cap
+    (the VJP formula is layout-agnostic)."""
+    B, m, _ = K.shape
+    if m > MAX_M_CHOL:
+        L = jnp.linalg.cholesky(K)
+        eye = jnp.broadcast_to(jnp.eye(m, dtype=K.dtype), K.shape)
+        W = jax.lax.linalg.triangular_solve(
+            L, eye, left_side=True, lower=True, transpose_a=False
+        )
+        return L, W
+    T = _LANES
+    nb = (B + T - 1) // T
+    padB = nb * T
+    Kp = jnp.concatenate(
+        [K, jnp.broadcast_to(jnp.eye(m, dtype=K.dtype), (padB - B, m, m))], axis=0
+    )
+    Kl = jnp.transpose(Kp.reshape(nb, T, m, m), (0, 2, 3, 1))
+
+    cols = _tri_inv_cols(m)
+    ncp = (m + cols - 1) // cols
+    lt, w = pl.pallas_call(
+        functools.partial(_chol_inv_kernel, cols=cols),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((nb, m, m, T), K.dtype),
+            jax.ShapeDtypeStruct((nb, ncp, m, cols, T), K.dtype),
+        ),
+        interpret=interpret,
+    )(Kl)
+    # see batched_tri_inv_pallas: keep XLA from stack-allocating these in
+    # VMEM next to the kernel's own scratch
+    lt, w = jax.lax.optimization_barrier((lt, w))
+    Lt = jnp.transpose(lt, (0, 3, 1, 2)).reshape(padB, m, m)[:B]
+    L = jnp.transpose(Lt, (0, 2, 1))
+    W = jnp.transpose(w, (0, 4, 2, 1, 3)).reshape(padB, m, ncp * cols)
+    return L, W[:B, :, :m]
+
+
+def _chol_inv_fwd(K, interpret):
+    L, W = batched_chol_inv_pallas(K, interpret)
+    return (L, W), (L, W)
+
+
+def _chol_inv_bwd(interpret, res, cts):
+    """Pull (dL, dW) back to dK via the saved factors.
+
+    W-cotangent -> L-cotangent: d(L^-1) = -L^-1 dL L^-1 gives
+    dL += -tril(W^T dW W^T).  Then the standard Cholesky pullback with
+    K^-1 expressed through W: dK = sym(W^T phi(L^T dL) W).  HIGHEST matmul
+    precision is mandatory (custom_vjp rules trace outside the caller's
+    precision context)."""
+    L, W = res
+    dL, dW = cts
+    m = L.shape[-1]
+    tril = jnp.tril(jnp.ones((m, m), dtype=L.dtype))
+    eye = jnp.eye(m, dtype=L.dtype)
+    with jax.default_matmul_precision("highest"):
+        G = -jnp.einsum("bki,bkl,bjl->bij", W, dW, W)  # -W^T dW W^T
+        dLt = (dL + G) * tril
+        P = jnp.einsum("bki,bkj->bij", L, dLt)
+        phi = P * tril - 0.5 * eye * P
+        sym = 0.5 * (phi + jnp.swapaxes(phi, -1, -2))
+        dK = jnp.einsum("bki,bkl,blj->bij", W, sym, W)
+        dK = 0.5 * (dK + jnp.swapaxes(dK, -1, -2))
+    return (dK,)
+
+
+batched_chol_inv_pallas.defvjp(_chol_inv_fwd, _chol_inv_bwd)
 
 
 def _mvn_kernel(k_hbm, y_hbm, nact_hbm, ll_hbm, lt_hbm):
@@ -417,7 +592,7 @@ def _mvn_bwd(interpret, res, g):
     with jax.default_matmul_precision("highest"):
         # K^-1 = W^T W and alpha = W^T (W Ym) with W = L^-1 from the lanes
         # kernel: all solves become MXU matmuls (see _chol_bwd)
-        W = batched_tri_inv_pallas(L, interpret)
+        W = _tri_inv_for_vjp(L, interpret)
         alpha = jnp.einsum("bki,bkd->bid", W, jnp.einsum("bij,bjd->bid", W, Ym))
         Kinv = jnp.einsum("bki,bkj->bij", W, W)
         gb = g[:, None, None]

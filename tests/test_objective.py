@@ -337,10 +337,12 @@ def test_schur_pallas_matches_schur(rng):
     orig_mvn = pm.batched_mvn_ll_pallas
     orig_chol = pm.batched_cholesky_pallas
     orig_tinv = pm.batched_tri_inv_pallas
+    orig_cinv = pm.batched_chol_inv_pallas
     try:
         pm.batched_mvn_ll_pallas = lambda Kp, Ym, na, interpret=False: orig_mvn(Kp, Ym, na, True)
         pm.batched_cholesky_pallas = lambda K, interpret=False: orig_chol(K, True)
         pm.batched_tri_inv_pallas = lambda L, interpret=False: orig_tinv(L, True)
+        pm.batched_chol_inv_pallas = lambda K, interpret=False: orig_cinv(K, True)
         ll_p = float(
             gprf_ll_schur(
                 params, Y32, arrays["assignment"], arrays["mask"], edges, uw, pw,
@@ -351,6 +353,7 @@ def test_schur_pallas_matches_schur(rng):
         pm.batched_mvn_ll_pallas = orig_mvn
         pm.batched_cholesky_pallas = orig_chol
         pm.batched_tri_inv_pallas = orig_tinv
+        pm.batched_chol_inv_pallas = orig_cinv
     assert np.isclose(ll_p, ll_x, rtol=1e-5)
 
 

@@ -222,3 +222,88 @@ def test_pallas_tri_inv_multi_panel(rng):
         np.broadcast_to(np.eye(m), (2, m, m)),
         rtol=1e-8, atol=1e-9,
     )
+
+
+def test_pallas_chol_inv_matches_xla(rng):
+    """Fused chol+inv kernel: both outputs, multi-panel width, odd batch."""
+    from gprf_tpu.ops.pallas_mvn import batched_chol_inv_pallas
+
+    m = 136  # 3 column panels at cols=64 (incl. a padded one)
+    K = _spd_batch(rng, 3, m)
+    L, W = batched_chol_inv_pallas(jnp.asarray(K), True)
+    L, W = np.asarray(L), np.asarray(W)
+    np.testing.assert_allclose(L, np.linalg.cholesky(K), rtol=1e-9, atol=1e-10)
+    np.testing.assert_allclose(
+        np.einsum("bij,bjk->bik", W, L),
+        np.broadcast_to(np.eye(m), (3, m, m)),
+        rtol=1e-8, atol=1e-9,
+    )
+
+
+def test_pallas_chol_inv_end_to_end_gradient(rng):
+    """The einsum-only custom VJP must match autodiff through the XLA
+    cholesky/triangular_solve formulation end-to-end (the unary objective
+    shape: quad form through W plus logdet through diag(L))."""
+    from gprf_tpu.ops.pallas_mvn import batched_chol_inv_pallas
+
+    m, dy = 22, 5
+    A = jnp.asarray(rng.normal(size=(2, m, m)))
+    Y = jnp.asarray(rng.normal(size=(2, m, dy)))
+
+    def make_K(A):
+        return jnp.einsum("bij,bkj->bik", A, A) + m * jnp.eye(m, dtype=A.dtype)
+
+    def f_fused(A):
+        L, W = batched_chol_inv_pallas(make_K(A), True)
+        Z = jnp.einsum("bij,bjd->bid", W, Y)
+        return jnp.sum(Z * Z) + 2.0 * jnp.sum(
+            jnp.log(jnp.diagonal(L, axis1=1, axis2=2))
+        )
+
+    def f_ref(A):
+        L = jnp.linalg.cholesky(make_K(A))
+        Z = jax.lax.linalg.triangular_solve(L, Y, left_side=True, lower=True)
+        return jnp.sum(Z * Z) + 2.0 * jnp.sum(
+            jnp.log(jnp.diagonal(L, axis1=1, axis2=2))
+        )
+
+    np.testing.assert_allclose(float(f_fused(A)), float(f_ref(A)), rtol=1e-10)
+    np.testing.assert_allclose(
+        np.asarray(jax.grad(f_fused)(A)), np.asarray(jax.grad(f_ref)(A)),
+        rtol=1e-7, atol=1e-9,
+    )
+
+
+def test_pallas_chol_inv_wide_fallback(rng):
+    """Beyond the VMEM cap the primitive falls back to XLA; the custom VJP
+    formula must still hold there."""
+    from gprf_tpu.ops.pallas_mvn import MAX_M_CHOL, batched_chol_inv_pallas
+
+    m = 12
+    A = jnp.asarray(rng.normal(size=(1, m, m)))
+
+    def make_K(A):
+        return jnp.einsum("bij,bkj->bik", A, A) + m * jnp.eye(m, dtype=A.dtype)
+
+    import gprf_tpu.ops.pallas_mvn as pm
+
+    def f(A, fused):
+        if fused:
+            L, W = batched_chol_inv_pallas(make_K(A), True)
+        else:
+            L = jnp.linalg.cholesky(make_K(A))
+            W = jax.lax.linalg.triangular_solve(
+                L, jnp.broadcast_to(jnp.eye(m, dtype=L.dtype), L.shape),
+                left_side=True, lower=True,
+            )
+        return jnp.sum(W * W) + jnp.sum(jnp.log(jnp.diagonal(L, axis1=1, axis2=2)))
+
+    old = pm.MAX_M_CHOL
+    pm.MAX_M_CHOL = 8  # force the fallback branch
+    try:
+        v, g = jax.value_and_grad(lambda A: f(A, True))(A)
+    finally:
+        pm.MAX_M_CHOL = old
+    v_ref, g_ref = jax.value_and_grad(lambda A: f(A, False))(A)
+    np.testing.assert_allclose(float(v), float(v_ref), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), rtol=1e-7, atol=1e-9)
