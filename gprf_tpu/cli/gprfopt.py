@@ -48,6 +48,7 @@ def do_run(
     init_true=False,
     engine="host",
     refine_iters=0,
+    multistart=1,
 ):
     if rpc_blocksize == -1:
         centers = grid_centers(nblocks)
@@ -136,7 +137,36 @@ def do_run(
                 )
 
             fused = make_fused()
-            if task == "x":
+            if task == "x" and multistart > 1:
+                # on-chip multi-start: replica 0 is the standard init, the
+                # rest are prior-scale perturbations of it (the GP-LVM
+                # landscape is multimodal; one dispatch advances all
+                # replicas — per-iteration cost scales ~linearly with R on
+                # a single chip, see make_multistart_runner)
+                from gprf_tpu.optim.device_lbfgs import do_optimization_multistart
+
+                ms_rng = np.random.default_rng(seed + 1000)
+                X0s = np.stack(
+                    [X0]
+                    + [
+                        X0 + ms_rng.standard_normal(X0.shape) * data.obs_std
+                        for _ in range(multistart - 1)
+                    ]
+                )
+                x_final, best_v, final_v = do_optimization_multistart(
+                    d, fused, X0s, maxsec=maxsec, max_iters=max_iters
+                )
+                print(
+                    "multistart: best replica %d of %d (final objectives %s)"
+                    % (int(np.argmin(final_v)), multistart, final_v)
+                )
+                if refine_iters > 0:
+                    from gprf_tpu.optim.device_lbfgs import refine_f64
+                    from gprf_tpu.optim.driver import load_log
+
+                    it0 = int(load_log(d)[0][-1]) + 1
+                    refine_f64(d, make_fused, x_final, it0, iters=refine_iters)
+            elif task == "x":
                 x_final = do_optimization_fused(d, fused, X0, maxsec=maxsec, max_iters=max_iters)
                 if refine_iters > 0:
                     from gprf_tpu.optim.device_lbfgs import refine_f64
@@ -247,6 +277,7 @@ def build_parser():
     parser.add_argument("--num_inducing", dest="num_inducing", default=0, type=int, help="number of inducing points for sparse baselines")
     parser.add_argument("--engine", dest="engine", default="host", choices=["host", "device"], help="host: scipy L-BFGS-B per-eval dispatch (reference semantics); device: fully on-device scan-L-BFGS loop (fast path; task=x grid runs)")
     parser.add_argument("--refine_iters", dest="refine_iters", default=0, type=int, help="device engine: follow the f32 loop with this many float64 refinement iterations (breaks the f32 convergence floor at large n)")
+    parser.add_argument("--multistart", dest="multistart", default=1, type=int, help="device engine, task=x: optimize this many on-chip replicas (replica 0 = standard init, others prior-scale perturbations) and keep the best final objective")
     return parser
 
 
@@ -280,6 +311,7 @@ def main(argv=None):
         init_true=args.init_true,
         engine=args.engine,
         refine_iters=args.refine_iters,
+        multistart=args.multistart,
     )
 
 

@@ -46,7 +46,14 @@ from gprf_tpu.optim.driver import OutOfTimeError
 from gprf_tpu.utils.io import save_step
 
 _LOG_2PI = math.log(2.0 * math.pi)
-_JITTER = 1e-6
+
+
+def _rel_jitter(dtype):
+    """Relative diagonal jitter for chol(Kmm).  1e-6 suffices in f64 but
+    NaNs the f32 factorization at reference scales (m=2000 inducing points
+    under an SE kernel is numerically low-rank): measured on v5e, jitter
+    1e-6 -> NaN Cholesky, 1e-4 -> clean at either matmul precision."""
+    return 1e-6 if jnp.finfo(dtype).bits >= 64 else 1e-4
 
 
 def _common_sparse_terms(X, Z, Y, cov: GPCov, noise_var):
@@ -58,7 +65,9 @@ def _common_sparse_terms(X, Z, Y, cov: GPCov, noise_var):
     n = X.shape[0]
     dy = Y.shape[1]
     Kmm = cross_kernel_matrix(cov, Z, Z)
-    Kmm = Kmm + _JITTER * cov.signal_var * jnp.eye(Z.shape[0], dtype=Kmm.dtype)
+    Kmm = Kmm + _rel_jitter(Kmm.dtype) * cov.signal_var * jnp.eye(
+        Z.shape[0], dtype=Kmm.dtype
+    )
     Knm = cross_kernel_matrix(cov, X, Z)
     Lm = jsp_linalg.cholesky(Kmm, lower=True)
     A = jsp_linalg.solve_triangular(Lm, Knm.T, lower=True)  # [m, n]
@@ -114,12 +123,16 @@ def _objective_and_grads(X, Z, log_lscale, Y, sv, noise_var, gplvm_type, learn_l
         dx = X.shape[1]
         ls = jnp.exp(log_lscale) * jnp.ones((dx,), dtype=X.dtype)
         cov = GPCov(wfn_params=jnp.asarray([sv], dtype=X.dtype), dfn_params=ls)
-        if gplvm_type == "sparse":
-            return fitc_mll(X, Z, Y, cov, noise_var)
-        elif gplvm_type == "bayesian":
-            return titsias_bound(X, Z, Y, cov, noise_var)
-        elif gplvm_type == "basic":
-            return full_gplvm_mll(X, Y, cov, noise_var)
+        # HIGHEST precision: the Woodbury solves/products feed log(g) and
+        # the quad form; TPU's default bf16 matmul passes inject gradient
+        # noise at n=10k scales that stalls L-BFGS
+        with jax.default_matmul_precision("highest"):
+            if gplvm_type == "sparse":
+                return fitc_mll(X, Z, Y, cov, noise_var)
+            elif gplvm_type == "bayesian":
+                return titsias_bound(X, Z, Y, cov, noise_var)
+            elif gplvm_type == "basic":
+                return full_gplvm_mll(X, Y, cov, noise_var)
         raise ValueError(gplvm_type)
 
     ll, grads = jax.value_and_grad(f, argnums=(0, 1, 2))(X, Z, log_lscale)

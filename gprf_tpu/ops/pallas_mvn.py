@@ -52,6 +52,38 @@ def _tri_inv_for_vjp(L, interpret: bool):
         return batched_tri_inv_doubling(L)
     return batched_tri_inv_pallas(L, interpret)
 
+
+def _vmappable(core):
+    """Make a pallas-invoking core vmap-compatible by batch folding.
+
+    pallas_call's default batching rule adds a grid dimension, which the
+    TPU lowering rejects for ANY-memory-space kernels (manual DMA).  Every
+    kernel here is batch-oblivious in its leading lane-tile dim, so an
+    outer vmap (e.g. the multi-start optimizer, ``optim.device_lbfgs.
+    make_multistart_runner``) can simply fold its batch axis into dim 0,
+    run the kernel over R*nb tiles, and unfold."""
+    from jax import custom_batching
+
+    cv = custom_batching.custom_vmap(core)
+
+    @cv.def_vmap
+    def _rule(axis_size, in_batched, *args):
+        folded = []
+        for a, b in zip(args, in_batched):
+            if not b:
+                a = jnp.broadcast_to(a[None], (axis_size,) + a.shape)
+            folded.append(a.reshape((-1,) + a.shape[2:]))
+        out = core(*folded)
+
+        def unfold(o):
+            return o.reshape((axis_size, -1) + o.shape[1:])
+
+        if isinstance(out, tuple):
+            return tuple(unfold(o) for o in out), tuple(True for _ in out)
+        return unfold(out), True
+
+    return cv
+
 _LOG_2PI = math.log(2.0 * math.pi)
 _LANES = 128
 
@@ -122,15 +154,24 @@ def batched_cholesky_pallas(K, interpret: bool = False):
     )
     Kl = jnp.transpose(Kp.reshape(nb, T, m, m), (0, 2, 3, 1))
 
-    lt = pl.pallas_call(
-        _chol_kernel,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
-        out_shape=jax.ShapeDtypeStruct((nb, m, m, T), K.dtype),
-        interpret=interpret,
-    )(Kl)
+    lt = _chol_core(interpret)(Kl)
     Lt = jnp.transpose(lt, (0, 3, 1, 2)).reshape(padB, m, m)[:B]
     return jnp.transpose(Lt, (0, 2, 1))
+
+
+@functools.lru_cache(maxsize=None)
+def _chol_core(interpret: bool):
+    def core(Kl):
+        nb, m, _, T = Kl.shape
+        return pl.pallas_call(
+            _chol_kernel,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            out_shape=jax.ShapeDtypeStruct((nb, m, m, T), Kl.dtype),
+            interpret=interpret,
+        )(Kl)
+
+    return _vmappable(core)
 
 
 def _chol_fwd(K, interpret):
@@ -259,13 +300,7 @@ def batched_tri_inv_pallas(L, interpret: bool = False):
 
     cols = _tri_inv_cols(m)
     ncp = (m + cols - 1) // cols
-    w = pl.pallas_call(
-        functools.partial(_tri_inv_kernel, cols=cols),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
-        out_shape=jax.ShapeDtypeStruct((nb, ncp, m, cols, T), L.dtype),
-        interpret=interpret,
-    )(Ll)
+    w = _tri_inv_core(interpret)(Ll)
     # buffer-assignment guard: without the barrier XLA stack-allocates this
     # output in VMEM next to the kernel's own scratch (fusing it into the
     # consumer) and blows the 16 MB scoped budget at m ~ 136
@@ -273,6 +308,23 @@ def batched_tri_inv_pallas(L, interpret: bool = False):
     # panel-major -> [padB, m, ncp*cols], crop the column padding
     w = jnp.transpose(w, (0, 4, 2, 1, 3)).reshape(padB, m, ncp * cols)
     return w[:B, :, :m]
+
+
+@functools.lru_cache(maxsize=None)
+def _tri_inv_core(interpret: bool):
+    def core(Ll):
+        nb, m, _, T = Ll.shape
+        cols = _tri_inv_cols(m)
+        ncp = (m + cols - 1) // cols
+        return pl.pallas_call(
+            functools.partial(_tri_inv_kernel, cols=cols),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            out_shape=jax.ShapeDtypeStruct((nb, ncp, m, cols, T), Ll.dtype),
+            interpret=interpret,
+        )(Ll)
+
+    return _vmappable(core)
 
 
 def _tri_inv_fwd(L, interpret):
@@ -398,19 +450,7 @@ def batched_chol_inv_pallas(K, interpret: bool = False):
 
     cols = _tri_inv_cols(m)
     ncp = (m + cols - 1) // cols
-    lt, w = pl.pallas_call(
-        functools.partial(_chol_inv_kernel, cols=cols),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=(
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((nb, m, m, T), K.dtype),
-            jax.ShapeDtypeStruct((nb, ncp, m, cols, T), K.dtype),
-        ),
-        interpret=interpret,
-    )(Kl)
+    lt, w = _chol_inv_core(interpret)(Kl)
     # see batched_tri_inv_pallas: keep XLA from stack-allocating these in
     # VMEM next to the kernel's own scratch
     lt, w = jax.lax.optimization_barrier((lt, w))
@@ -418,6 +458,29 @@ def batched_chol_inv_pallas(K, interpret: bool = False):
     L = jnp.transpose(Lt, (0, 2, 1))
     W = jnp.transpose(w, (0, 4, 2, 1, 3)).reshape(padB, m, ncp * cols)
     return L, W[:B, :, :m]
+
+
+@functools.lru_cache(maxsize=None)
+def _chol_inv_core(interpret: bool):
+    def core(Kl):
+        nb, m, _, T = Kl.shape
+        cols = _tri_inv_cols(m)
+        ncp = (m + cols - 1) // cols
+        return pl.pallas_call(
+            functools.partial(_chol_inv_kernel, cols=cols),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            out_specs=(
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((nb, m, m, T), Kl.dtype),
+                jax.ShapeDtypeStruct((nb, ncp, m, cols, T), Kl.dtype),
+            ),
+            interpret=interpret,
+        )(Kl)
+
+    return _vmappable(core)
 
 
 def _chol_inv_fwd(K, interpret):
@@ -539,24 +602,33 @@ def _mvn_forward(Kp, Ym, n_active, interpret=False):
     Yl = jnp.transpose(Yx.reshape(nb, T, m, dy), (0, 2, 3, 1))
     nl = nx.reshape(nb, 1, T)
 
-    ll, lt = pl.pallas_call(
-        _mvn_kernel,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-        ],
-        out_specs=(
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((nb, 1, T), Kp.dtype),
-            jax.ShapeDtypeStruct((nb, m, m, T), Kp.dtype),
-        ),
-        interpret=interpret,
-    )(Kl, Yl, nl)
+    ll, lt = _mvn_core(interpret)(Kl, Yl, nl)
     return ll.reshape(padB)[:B], lt
+
+
+@functools.lru_cache(maxsize=None)
+def _mvn_core(interpret: bool):
+    def core(Kl, Yl, nl):
+        nb, m, _, T = Kl.shape
+        return pl.pallas_call(
+            _mvn_kernel,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=(
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((nb, 1, T), Kl.dtype),
+                jax.ShapeDtypeStruct((nb, m, m, T), Kl.dtype),
+            ),
+            interpret=interpret,
+        )(Kl, Yl, nl)
+
+    return _vmappable(core)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))

@@ -117,6 +117,31 @@ def main():
             lu = fu.loss_fn()
             gu = jax.grad(lu)
             ms = scan_time(lambda x: x - 1e-9 * gu(x), x0)
+        elif v.startswith("multistart"):
+            # R on-chip replicas: ms per L-BFGS iteration ACROSS ALL replicas
+            # (each iteration advances R independent optimizations)
+            R = int(v[len("multistart"):] or "8")
+            from gprf_tpu.optim.device_lbfgs import make_multistart_runner
+
+            rngp = np.random.default_rng(1)
+            x0s = jnp.stack(
+                [x0]
+                + [
+                    x0 + jnp.asarray(
+                        rngp.standard_normal(x0.shape) * obs_std, dtype=x0.dtype
+                    )
+                    for _ in range(R - 1)
+                ]
+            )
+            init_fn, run_fn = make_multistart_runner(loss, num_steps=STEPS)
+            carry = init_fn(x0s)
+            carry, _ = run_fn(carry)
+            jax.block_until_ready(carry["v"])
+            t0 = time.time()
+            for _ in range(NRUNS):
+                carry, _ = run_fn(carry)
+            jax.block_until_ready(carry["v"])
+            ms = (time.time() - t0) / (NRUNS * STEPS) * 1e3
         elif v == "reblock":
             # isolate the on-device re-block (argmin + stable argsort +
             # scatter) that runs every iteration inside the fused loss

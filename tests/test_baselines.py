@@ -136,3 +136,31 @@ def test_do_sgplvm_bayesian_and_basic(tmp_path, monkeypatch, rng):
         steps, times, lls = load_log(d)
         assert len(steps) >= 2
         assert lls[-1] >= lls[0]
+
+
+def test_fitc_f32_large_inducing_finite(rng):
+    """Regression: f32 FITC at a dense inducing set.  With the old fixed
+    1e-6 jitter the f32 chol(Kmm) NaN'd at reference scales (SE Kmm is
+    numerically low-rank); the dtype-scaled jitter must keep value and
+    gradients finite."""
+    import jax
+    import jax.numpy as jnp
+    from gprf_tpu.kernels.gpcov import GPCov
+    from gprf_tpu.model.sgplvm import fitc_mll
+
+    n, m, dy = 1500, 500, 3
+    X = jnp.asarray(rng.uniform(size=(n, 2)), dtype=jnp.float32)
+    Z = X[:m]
+    Y = jnp.asarray(rng.normal(size=(n, dy)), dtype=jnp.float32)
+    cov = GPCov(
+        wfn_params=jnp.asarray([1.0], jnp.float32),
+        dfn_params=jnp.asarray([0.06, 0.06], jnp.float32),
+    )
+
+    def f(X, Z):
+        return fitc_mll(X, Z, Y, cov, jnp.float32(0.01))
+
+    v, (gX, gZ) = jax.value_and_grad(f, argnums=(0, 1))(X, Z)
+    assert np.isfinite(float(v))
+    assert np.all(np.isfinite(np.asarray(gX)))
+    assert np.all(np.isfinite(np.asarray(gZ)))

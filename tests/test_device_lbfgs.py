@@ -119,3 +119,72 @@ def test_fused_driver_capacity_growth(tmp_path, rng):
     do_optimization_fused(d, fused, X0, maxsec=60, max_iters=45, steps_per_dispatch=15)
     assert fused.m > m0  # capacity grew
     assert os.path.exists(os.path.join(d, "finished"))
+
+
+def test_multistart_matches_single_runs(rng, tmp_path):
+    """Replica trajectories of the vmapped multi-start runner must match
+    running each start alone (up to reduction reassociation under vmap —
+    dots become batched matmuls), and per-replica state stays independent."""
+    import jax.numpy as jnp
+    from gprf_tpu.optim.device_lbfgs import (
+        make_multistart_runner,
+        make_scan_lbfgs_runner,
+    )
+
+    n = 12
+
+    def loss(x):
+        # quartic bowl with two local minima along the first coordinate
+        return jnp.sum((x - 1.0) ** 2) + 0.5 * jnp.sum(x**4)
+
+    init_b, run_b = make_multistart_runner(loss, num_steps=8)
+    init_s, run_s = make_scan_lbfgs_runner(loss, num_steps=8)
+
+    x0s = jnp.asarray(rng.normal(size=(3, n)))
+    carry_b = init_b(x0s)
+    carry_b, (vals_b, _, _) = run_b(carry_b)
+    for r in range(3):
+        carry = init_s(x0s[r])
+        carry, (vals, _, _) = run_s(carry)
+        np.testing.assert_allclose(
+            np.asarray(vals), np.asarray(vals_b)[r], rtol=1e-12, atol=1e-13
+        )
+        np.testing.assert_allclose(
+            np.asarray(carry["x"]), np.asarray(carry_b["x"])[r],
+            rtol=1e-10, atol=1e-12,
+        )
+
+
+def test_multistart_driver_selects_best(rng, tmp_path):
+    """End-to-end multi-start over a real fused GPRF loss: the driver logs
+    the per-replica matrix and returns the replica with the lowest final
+    nll; the winner must be at least as good as every replica."""
+    from gprf_tpu.kernels.gpcov import GPCov
+    from gprf_tpu.model.fused import FusedGridGPRF
+    from gprf_tpu.optim.device_lbfgs import do_optimization_multistart
+    from gprf_tpu.partition.grid import Blocker, grid_centers
+
+    n = 60
+    SX = rng.uniform(size=(n, 2))
+    X_obs = SX + rng.standard_normal(SX.shape) * 0.05
+    Y = rng.standard_normal((n, 4))
+    b = Blocker(grid_centers(4))
+    cov = GPCov.create([1.0], [0.3, 0.3])
+    fused = FusedGridGPRF(
+        X_obs, Y, b.block_centers, b.neighbors(), X_obs, 0.05, cov, 0.01
+    )
+    X0s = np.stack(
+        [X_obs + rng.standard_normal(X_obs.shape) * 0.02 * r for r in range(3)]
+    )
+    d = str(tmp_path)
+    best_x, best_v, final_v = do_optimization_multistart(
+        d, fused, X0s, max_iters=12, steps_per_dispatch=6
+    )
+    assert np.isfinite(best_v) and best_v == final_v.min()
+    assert best_x.shape == (n * 2,)
+    import os
+
+    assert os.path.exists(os.path.join(d, "multistart.txt"))
+    with open(os.path.join(d, "multistart.txt")) as f:
+        row = f.readline().split()
+    assert len(row) == 2 + 3  # step, time, one column per replica

@@ -201,3 +201,38 @@ def test_sharded_fused_seismic_loss(rng, mesh):
         losses.append(float(jax.jit(fused.loss_fn())(theta0)))
     assert np.isfinite(losses[0])
     np.testing.assert_allclose(losses[0], losses[1], rtol=1e-8)
+
+
+def test_sharded_multistart_matches_single_device(rng, mesh):
+    """vmapped multi-start over the mesh-sharded fused loss: the Pallas-free
+    CPU path exercises the same custom_vmap fold + GSPMD composition the
+    TPU uses; per-replica trajectories must match the unsharded loss."""
+    import jax.numpy as jnp
+    from gprf_tpu.kernels.gpcov import GPCov
+    from gprf_tpu.model.fused import FusedGridGPRF
+    from gprf_tpu.optim.device_lbfgs import make_multistart_runner
+    from gprf_tpu.partition.grid import Blocker, grid_centers
+
+    n = 160
+    SX = rng.uniform(size=(n, 2))
+    X_obs = SX + rng.standard_normal(SX.shape) * 0.05
+    Y = rng.standard_normal((n, 4))
+    b = Blocker(grid_centers(9))
+    cov = GPCov.create([1.0], [0.3, 0.3])
+
+    def build(mesh_arg):
+        return FusedGridGPRF(
+            X_obs, Y, b.block_centers, b.neighbors(), X_obs, 0.05, cov, 0.01,
+            mesh=mesh_arg,
+        )
+
+    x0s = jnp.stack(
+        [jnp.asarray(X_obs.flatten()), jnp.asarray((X_obs + 0.01).flatten())]
+    )
+    vals = {}
+    for name, fused in [("sharded", build(mesh)), ("single", build(None))]:
+        init_fn, run_fn = make_multistart_runner(fused.loss_fn(), num_steps=4)
+        carry = init_fn(x0s)
+        carry, (v, _, _) = run_fn(carry)
+        vals[name] = np.asarray(v)
+    np.testing.assert_allclose(vals["sharded"], vals["single"], rtol=1e-9)
