@@ -180,7 +180,37 @@ def do_run(
                         "--refine_iters currently applies to task=x device runs"
                     )
                 theta0 = fused.theta0()
-                do_optimization_fused_theta(d, fused, theta0, maxsec=maxsec, max_iters=max(max_iters, 600))
+                if multistart > 1:
+                    from gprf_tpu.optim.device_lbfgs import (
+                        do_optimization_multistart_theta,
+                    )
+
+                    ms_rng = np.random.default_rng(seed + 1000)
+                    theta0s = [theta0]
+                    for _ in range(multistart - 1):
+                        t = theta0.copy()
+                        if task == "xcov":  # perturb the X segment at prior scale
+                            nflat = X0.size
+                            t[:nflat] += ms_rng.standard_normal(nflat) * data.obs_std
+                        # log-cov segment: the reference's init randomization
+                        # draws log-scale params from N(-1, 1) (gprfopt.py:563)
+                        ncov = C0.size
+                        t[len(t) - ncov:] += (
+                            ms_rng.standard_normal(ncov)
+                            * 0.3
+                            * FusedSyntheticGPRF.COV_SCALE
+                        )
+                        theta0s.append(t)
+                    _, best_v, final_v = do_optimization_multistart_theta(
+                        d, fused, np.stack(theta0s), maxsec=maxsec,
+                        max_iters=max(max_iters, 600),
+                    )
+                    print(
+                        "multistart: best replica %d of %d (final objectives %s)"
+                        % (int(np.argmin(final_v)), multistart, final_v)
+                    )
+                else:
+                    do_optimization_fused_theta(d, fused, theta0, maxsec=maxsec, max_iters=max(max_iters, 600))
         elif gplvm_type != "gprf":
             from gprf_tpu.model.sgplvm import do_sgplvm
 

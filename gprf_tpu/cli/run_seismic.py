@@ -107,6 +107,7 @@ def build_parser():
     parser.add_argument("--parallel", dest="parallel", default=False, action="store_true", help="accepted for parity; the TPU path always batches")
     parser.add_argument("--data_dir", dest="data_dir", default=".", type=str, help="directory holding sorted_isc.npy / cached Y")
     parser.add_argument("--engine", dest="engine", default="host", choices=["host", "device"], help="host: scipy L-BFGS-B per-eval dispatch (reference semantics); device: fully on-device scan-L-BFGS loop")
+    parser.add_argument("--multistart", dest="multistart", default=1, type=int, help="device engine: optimize this many on-chip replicas and keep the best final objective")
     return parser
 
 
@@ -195,7 +196,34 @@ def main(argv=None):
                 task=args.task,
             )
             theta0 = fused.theta0(X0 if X0 is not None else means, C0)
-            do_optimization_fused_theta(d, fused, theta0, maxsec=args.maxsec)
+            if args.multistart > 1:
+                from gprf_tpu.optim.device_lbfgs import (
+                    do_optimization_multistart_theta,
+                )
+
+                # replicas perturb the (lon, lat, depth-scaled) segment at
+                # the observation-prior scale and the log-cov tail mildly
+                ms_rng = np.random.default_rng(1000)
+                nx = means.size
+                theta0s = [theta0]
+                for _ in range(args.multistart - 1):
+                    t = theta0.copy()
+                    if args.task in ("x", "xcov"):
+                        t[:nx] += ms_rng.standard_normal(nx) * 0.05
+                    if len(t) > nx or args.task == "cov":
+                        ncov = len(t) - (nx if args.task == "xcov" else 0)
+                        if ncov > 0:
+                            t[len(t) - ncov:] += ms_rng.standard_normal(ncov) * 0.3
+                    theta0s.append(t)
+                _, best_v, final_v = do_optimization_multistart_theta(
+                    d, fused, np.stack(theta0s), maxsec=args.maxsec
+                )
+                print(
+                    "multistart: best replica %d of %d (final objectives %s)"
+                    % (int(np.argmin(final_v)), args.multistart, final_v)
+                )
+            else:
+                do_optimization_fused_theta(d, fused, theta0, maxsec=args.maxsec)
         else:
             do_optimization_seismic(
                 d,

@@ -259,6 +259,84 @@ def do_optimization_multistart(
     return np.asarray(carry["x"])[best_r], float(final_v[best_r]), final_v
 
 
+def do_optimization_multistart_theta(
+    d,
+    fused,
+    theta0s,
+    maxsec: float = 3600,
+    max_iters: int = 600,
+    steps_per_dispatch: int = 20,
+    ftol: float = 1e-6,
+):
+    """Multi-start driver over a theta-packed fused evaluator (synthetic
+    cov/xcov or seismic): all R replicas advance in one vmapped device
+    program; the winner's X/cov trajectory is written through the standard
+    file protocol (log.txt / step checkpoints / covs.txt), the per-replica
+    objective matrix to ``multistart.txt``.  Returns
+    (best_theta, best_v, final_values [R])."""
+    theta0s = np.asarray(theta0s, dtype=np.float64)
+    R = theta0s.shape[0]
+    init_fn, run_fn = make_multistart_runner(fused.loss_fn(), steps_per_dispatch)
+    carry = init_fn(jnp.asarray(theta0s, dtype=fused.dtype))
+    f_log = open(os.path.join(d, "log.txt"), "w")
+    f_ms = open(os.path.join(d, "multistart.txt"), "w")
+    covf = open(os.path.join(d, "covs.txt"), "w")
+    t0 = time.time()
+    it = 0
+    prev_best = np.inf
+    stall = 0
+    try:
+        while it < max_iters and time.time() - t0 < maxsec:
+            carry, (values, accepted, gnorms) = run_fn(carry)
+            vals = np.asarray(values)  # [R, steps] nll
+            thetas = np.asarray(carry["x"], dtype=np.float64)
+            if not np.all(np.isfinite(thetas)):
+                raise FloatingPointError("a replica diverged to non-finite state")
+            for r in range(R):
+                if not fused.check_capacity(thetas[r]):
+                    fused.grow_capacity()
+                    init_fn, run_fn = make_multistart_runner(
+                        fused.loss_fn(), steps_per_dispatch
+                    )
+                    carry = init_fn(jnp.asarray(thetas, dtype=fused.dtype))
+                    break
+            now = time.time() - t0
+            best_r = int(np.argmin(np.asarray(carry["v"])))
+            for k in range(vals.shape[1]):
+                f_ms.write(
+                    "%d %.2f %s\n"
+                    % (it + k, now, " ".join("%.2f" % (-v) for v in vals[:, k]))
+                )
+                f_log.write("%d %.2f %.2f\n" % (it + k, now, float(-vals[best_r, k])))
+            f_ms.flush()
+            f_log.flush()
+            X, FC = fused.unpack_host(thetas[best_r])
+            step_idx = it + steps_per_dispatch - 1
+            save_step(d, step_idx, X=X, FC=FC)
+            if FC is not None:
+                covf.write("%d %s\n" % (step_idx, FC))
+                covf.flush()
+            it += steps_per_dispatch
+            best = float(np.min(np.asarray(carry["v"])))
+            if prev_best - best < ftol * (abs(prev_best) + 1e-12):
+                stall += 1
+                if stall >= 2:
+                    break
+            else:
+                stall = 0
+            prev_best = min(prev_best, best)
+    finally:
+        f_log.write("optimization finished after %.fs\n" % (time.time() - t0))
+        f_log.close()
+        f_ms.close()
+        covf.close()
+        with open(os.path.join(d, "finished"), "w") as f:
+            f.write("")
+    final_v = np.asarray(carry["v"])
+    best_r = int(np.argmin(final_v))
+    return np.asarray(carry["x"], dtype=np.float64)[best_r], float(final_v[best_r]), final_v
+
+
 def make_lbfgs_runner(loss_fn, num_steps: int, memory_size: int = 10,
                       max_linesearch_steps: int = 25):
     """(init_fn, run_fn): run_fn(x, state) advances ``num_steps`` L-BFGS

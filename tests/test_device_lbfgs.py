@@ -188,3 +188,38 @@ def test_multistart_driver_selects_best(rng, tmp_path):
     with open(os.path.join(d, "multistart.txt")) as f:
         row = f.readline().split()
     assert len(row) == 2 + 3  # step, time, one column per replica
+
+
+def test_multistart_theta_driver(rng, tmp_path):
+    """Theta-packed multi-start (xcov): winner selection + the covs.txt /
+    multistart.txt protocol."""
+    import os
+
+    from gprf_tpu.kernels.gpcov import GPCov
+    from gprf_tpu.model.fused import FusedSyntheticGPRF
+    from gprf_tpu.optim.device_lbfgs import do_optimization_multistart_theta
+    from gprf_tpu.partition.grid import Blocker, grid_centers
+
+    n = 60
+    SX = rng.uniform(size=(n, 2))
+    X_obs = SX + rng.standard_normal(SX.shape) * 0.05
+    Y = rng.standard_normal((n, 4))
+    b = Blocker(grid_centers(4))
+    cov = GPCov.create([1.0], [0.3, 0.3])
+    fused = FusedSyntheticGPRF(
+        X_obs, Y, b.neighbors(), X_obs, 0.05, cov, 0.01,
+        task="xcov", C0=np.array([[0.3]]), centers=np.asarray(b.block_centers),
+    )
+    theta0 = fused.theta0()
+    theta0s = np.stack(
+        [theta0, theta0 + rng.standard_normal(theta0.shape) * 0.01]
+    )
+    d = str(tmp_path)
+    best_t, best_v, final_v = do_optimization_multistart_theta(
+        d, fused, theta0s, max_iters=12, steps_per_dispatch=6
+    )
+    assert np.isfinite(best_v) and best_v == final_v.min()
+    assert os.path.exists(os.path.join(d, "multistart.txt"))
+    assert os.path.exists(os.path.join(d, "covs.txt"))
+    X, FC = fused.unpack_host(best_t)
+    assert X.shape == (n, 2) and FC.shape == (1, 4)
