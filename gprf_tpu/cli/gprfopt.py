@@ -102,6 +102,8 @@ def do_run(
         raise ValueError("unrecognized task " + task)
 
     if not analyze_only:
+        if engine != "device" and multistart > 1:
+            print("WARNING: --multistart applies to the device engine only; running single-start")
         if engine == "device":
             if gplvm_type != "gprf":
                 raise ValueError(
@@ -307,7 +309,7 @@ def build_parser():
     parser.add_argument("--num_inducing", dest="num_inducing", default=0, type=int, help="number of inducing points for sparse baselines")
     parser.add_argument("--engine", dest="engine", default="host", choices=["host", "device"], help="host: scipy L-BFGS-B per-eval dispatch (reference semantics); device: fully on-device scan-L-BFGS loop (fast path; task=x grid runs)")
     parser.add_argument("--refine_iters", dest="refine_iters", default=0, type=int, help="device engine: follow the f32 loop with this many float64 refinement iterations (breaks the f32 convergence floor at large n)")
-    parser.add_argument("--multistart", dest="multistart", default=1, type=int, help="device engine, task=x: optimize this many on-chip replicas (replica 0 = standard init, others prior-scale perturbations) and keep the best final objective")
+    parser.add_argument("--multistart", dest="multistart", default=1, type=int, help="device engine (all tasks): optimize this many on-chip replicas (replica 0 = standard init, others prior/log-scale perturbations) and keep the best final objective; ignored by the host engine")
     return parser
 
 

@@ -203,7 +203,7 @@ def main(argv=None):
 
                 # replicas perturb the (lon, lat, depth-scaled) segment at
                 # the observation-prior scale and the log-cov tail mildly
-                ms_rng = np.random.default_rng(1000)
+                ms_rng = np.random.default_rng(args.seed + 1000)
                 nx = means.size
                 theta0s = [theta0]
                 for _ in range(args.multistart - 1):

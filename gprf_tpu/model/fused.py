@@ -268,6 +268,29 @@ class FusedGridGPRF:
         sizes = [len(ix) for ix in b.block_clusters(np.asarray(x_flat).reshape(self.shape))]
         return max(sizes) <= self.m
 
+    def check_capacity_batch(self, x_stack) -> bool:
+        """Capacity check over an [R, n*dx] replica stack in ONE device
+        dispatch, using the same on-device argmin assignment the fused
+        objective itself applies (see fused_grid_objective)."""
+        R = np.asarray(x_stack).shape[0]
+        Xs = jnp.asarray(
+            np.asarray(x_stack, dtype=np.float64).reshape((R,) + self.shape),
+            dtype=self.Y.dtype,
+        )
+        centers = jnp.asarray(np.asarray(self.centers), dtype=Xs.dtype)
+        B = centers.shape[0]
+
+        def assign(X):
+            scores = -2.0 * jnp.dot(
+                X, centers.T, precision=jax.lax.Precision.HIGHEST
+            ) + jnp.sum(centers * centers, axis=1)
+            return jnp.argmin(scores, axis=1)
+
+        counts = jax.vmap(
+            lambda X: jnp.bincount(assign(X), length=B)
+        )(Xs)
+        return int(jax.device_get(jnp.max(counts))) <= self.m
+
     def grow_capacity(self):
         self.m += 16
 
@@ -436,6 +459,21 @@ class FusedSyntheticGPRF:
             return True
         counts = np.bincount(self._assign_host(X), minlength=self.n_blocks)
         return int(counts.max()) <= self.m
+
+    def check_capacity_batch(self, thetas) -> bool:
+        """Capacity check over an [R, ...] replica stack in ONE device
+        dispatch (the multi-start driver calls this every outer iteration;
+        per-replica host round-trips cost ~30 ms each on the tunneled
+        backend)."""
+        Xs = [self.unpack_host(t)[0] for t in np.asarray(thetas)]
+        if Xs[0] is None:
+            return True
+        stacked = jnp.asarray(np.stack(Xs), dtype=self.dtype)
+        blocks = jax.vmap(self._assign_device)(stacked)  # [R, n]
+        counts = jax.vmap(
+            lambda b: jnp.bincount(b, length=self.n_blocks)
+        )(blocks)
+        return int(jax.device_get(jnp.max(counts))) <= self.m
 
     def grow_capacity(self):
         self.m += 16

@@ -131,6 +131,28 @@ class FusedSeismicGPRF:
         counts = np.bincount(np.asarray(blocks), minlength=self.n_blocks)
         return int(counts.max()) <= self.m
 
+    def check_capacity_batch(self, thetas) -> bool:
+        """Capacity check over an [R, ...] replica stack in ONE device
+        dispatch (vmapped PD-tree assignment)."""
+        from gprf_tpu.partition.pdtree import wrap_lon
+
+        X2s = []
+        for t in np.asarray(thetas):
+            X, _ = self.unpack_host(t)
+            if X is None:
+                return True
+            X2 = X[:, :2].copy()
+            X2[:, 0] = wrap_lon(X2[:, 0])
+            X2s.append(X2)
+        stacked = jnp.asarray(np.stack(X2s), dtype=self.dtype)
+        counts = jax.vmap(
+            lambda X2: jnp.bincount(
+                assign_blocks_pdtree(X2, self.tree_arrays, self.depth),
+                length=self.n_blocks,
+            )
+        )(stacked)
+        return int(jax.device_get(jnp.max(counts))) <= self.m
+
     def grow_capacity(self):
         self.m += 16
 

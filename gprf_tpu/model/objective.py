@@ -209,7 +209,13 @@ def _schur_ll(
     # improvements and floors convergence
     acc = jnp.float64 if jax.config.jax_enable_x64 else dtype
 
-    with jax.default_matmul_precision("highest"):
+    # "highest" = 6 bf16 passes per f32 matmul on TPU.  GPRF_SCHUR_PRECISION
+    # =high (3 passes) is a measurable experiment knob: the Schur algebra
+    # tolerates ~2^-21 product error (nv jitter >> that), but the explicit
+    # distance computations keep their own HIGHEST internally regardless.
+    with jax.default_matmul_precision(
+        os.environ.get("GPRF_SCHUR_PRECISION", "highest")
+    ):
         # ---- unary pass: batched masked Cholesky + per-block ll pieces
         Xb = X[assignment]  # [B, m, dx]
         maskf = mask.astype(dtype)

@@ -184,6 +184,128 @@ def make_multistart_runner(loss_fn, num_steps: int, **kwargs):
     return jax.jit(jax.vmap(init_fn)), jax.jit(jax.vmap(run_fn))
 
 
+def _sanitize_replicas(carry):
+    """Restart any replica whose state went non-finite instead of aborting
+    the whole run: the replica resumes from its last evaluated point
+    (x_prev) — or a clone of the current best replica if that too is dead —
+    with cleared curvature memory, a conservative step scale, and v = +inf
+    so it cannot be selected as the winner before its next evaluation.
+    Raises only if every replica is unrecoverable.  Returns
+    (carry, n_restarted)."""
+    host = {k: np.array(v) for k, v in carry.items()}
+    finite_x = np.isfinite(host["x"]).all(axis=1)
+    finite_v = np.isfinite(host["v"])
+    bad = ~(finite_x & finite_v)
+    if not bad.any():
+        return carry, 0
+    prev_ok = np.isfinite(host["x_prev"]).all(axis=1)
+    vs = np.where(prev_ok & finite_v, host["v"], np.inf)
+    donor = int(np.argmin(vs))
+    if not np.isfinite(vs[donor]):
+        raise FloatingPointError("every replica diverged to non-finite state")
+    M = host["S"].shape[1]
+    for r in np.where(bad)[0]:
+        src = host["x_prev"][r] if prev_ok[r] else host["x_prev"][donor]
+        host["x"][r] = src
+        host["x_prev"][r] = src
+        host["g"][r] = 0.0
+        host["g_prev"][r] = 0.0
+        host["v"][r] = np.inf
+        host["v_prev"][r] = np.inf
+        host["first"][r] = True
+        host["eta"][r] = 0.25
+        host["S"][r] = 0.0
+        host["Ymem"][r] = 0.0
+        host["rho"][r] = 0.0
+        host["valid"][r] = False
+        host["head"][r] = 0
+    return {k: jnp.asarray(v) for k, v in host.items()}, int(bad.sum())
+
+
+def _check_capacity_all(fused, thetas):
+    """True iff the current padded capacity holds every replica; one
+    batched call when the evaluator provides it."""
+    batch = getattr(fused, "check_capacity_batch", None)
+    if batch is not None:
+        return bool(batch(thetas))
+    return all(fused.check_capacity(t) for t in thetas)
+
+
+def _run_multistart(d, fused, theta0s, dtype, unpack_fn, write_covs,
+                    maxsec, max_iters, steps_per_dispatch, ftol):
+    """Shared multi-start loop: R vmapped replicas, per-replica stall
+    tracking (the run ends only when NO replica is still improving),
+    divergence-tolerant restarts, and the standard file protocol written
+    for the currently-best replica.  The checkpointed/returned point is
+    the last EVALUATED point of the winner (carry["x_prev"], whose value
+    is carry["v"]) — carry["x"] is the next, never-evaluated proposal."""
+    theta0s = np.asarray(theta0s, dtype=np.float64)
+    R = theta0s.shape[0]
+    init_fn, run_fn = make_multistart_runner(fused.loss_fn(), steps_per_dispatch)
+    carry = init_fn(jnp.asarray(theta0s, dtype=dtype))
+    f_log = open(os.path.join(d, "log.txt"), "w")
+    f_ms = open(os.path.join(d, "multistart.txt"), "w")
+    covf = open(os.path.join(d, "covs.txt"), "w") if write_covs else None
+    t0 = time.time()
+    it = 0
+    prev_best = np.full((R,), np.inf)
+    stall = 0
+    try:
+        while it < max_iters and time.time() - t0 < maxsec:
+            carry, (values, accepted, gnorms) = run_fn(carry)
+            vals = np.asarray(values)  # [R, steps] nll
+            carry, n_restarted = _sanitize_replicas(carry)
+            if n_restarted:
+                print("multistart: restarted %d diverged replica(s)" % n_restarted)
+            thetas = np.asarray(carry["x_prev"], dtype=np.float64)
+            if not _check_capacity_all(fused, thetas):
+                fused.grow_capacity()
+                init_fn, run_fn = make_multistart_runner(
+                    fused.loss_fn(), steps_per_dispatch
+                )
+                carry = init_fn(jnp.asarray(thetas, dtype=dtype))
+            now = time.time() - t0
+            cur_v = np.asarray(carry["v"])
+            best_r = int(np.argmin(cur_v))
+            for k in range(vals.shape[1]):
+                f_ms.write(
+                    "%d %.2f %s\n"
+                    % (it + k, now, " ".join("%.2f" % (-v) for v in vals[:, k]))
+                )
+                f_log.write("%d %.2f %.2f\n" % (it + k, now, float(-vals[best_r, k])))
+            f_ms.flush()
+            f_log.flush()
+            X, FC = unpack_fn(thetas[best_r])
+            step_idx = it + steps_per_dispatch - 1
+            save_step(d, step_idx, X=X, FC=FC)
+            if covf is not None and FC is not None:
+                covf.write("%d %s\n" % (step_idx, FC))
+                covf.flush()
+            it += steps_per_dispatch
+            # per-replica progress: only stop when no replica improves
+            best_per = np.minimum(prev_best, vals.min(axis=1))
+            improved = prev_best - best_per >= ftol * (np.abs(prev_best) + 1e-12)
+            if not improved.any():
+                stall += 1
+                if stall >= 2:
+                    break
+            else:
+                stall = 0
+            prev_best = best_per
+    finally:
+        f_log.write("optimization finished after %.fs\n" % (time.time() - t0))
+        f_log.close()
+        f_ms.close()
+        if covf is not None:
+            covf.close()
+        with open(os.path.join(d, "finished"), "w") as f:
+            f.write("")
+    final_v = np.asarray(carry["v"])
+    best_r = int(np.argmin(final_v))
+    best_theta = np.asarray(carry["x_prev"], dtype=np.float64)[best_r]
+    return best_theta, float(final_v[best_r]), final_v
+
+
 def do_optimization_multistart(
     d,
     fused,
@@ -193,70 +315,18 @@ def do_optimization_multistart(
     steps_per_dispatch: int = 20,
     ftol: float = 1e-6,
 ):
-    """Multi-start driver over a fused loss: optimize all R starts on
-    device, log the per-replica objective matrix (``multistart.txt``: one
-    row per iteration, one column per replica), then write the standard
-    file protocol for the WINNING replica so downstream analysis tooling
+    """Multi-start driver over a task=x fused loss: optimize all R starts
+    on device, log the per-replica objective matrix (``multistart.txt``:
+    one row per iteration, one column per replica), and write the standard
+    file protocol for the winning replica so downstream analysis tooling
     is unchanged.  Returns (best_x, best_v, final_values [R])."""
-    R = np.asarray(X0s).shape[0]
-    init_fn, run_fn = make_multistart_runner(fused.loss_fn(), steps_per_dispatch)
-    x0s = jnp.asarray(
-        np.asarray(X0s, dtype=np.float64).reshape(R, -1), dtype=fused.Y.dtype
+    X0s = np.asarray(X0s, dtype=np.float64)
+    shape = X0s.shape[1:]
+    return _run_multistart(
+        d, fused, X0s.reshape(X0s.shape[0], -1), fused.Y.dtype,
+        lambda t: (t.reshape(shape), None), False,
+        maxsec, max_iters, steps_per_dispatch, ftol,
     )
-    carry = init_fn(x0s)
-    f_log = open(os.path.join(d, "log.txt"), "w")
-    f_ms = open(os.path.join(d, "multistart.txt"), "w")
-    t0 = time.time()
-    it = 0
-    prev_best = np.inf
-    stall = 0
-    try:
-        while it < max_iters and time.time() - t0 < maxsec:
-            carry, (values, accepted, gnorms) = run_fn(carry)
-            vals = np.asarray(values)  # [R, steps] nll
-            xs = np.asarray(carry["x"])
-            if not np.all(np.isfinite(xs)):
-                raise FloatingPointError("a replica diverged to non-finite X")
-            for r in range(R):
-                if not fused.check_capacity(xs[r]):
-                    fused.grow_capacity()
-                    init_fn, run_fn = make_multistart_runner(
-                        fused.loss_fn(), steps_per_dispatch
-                    )
-                    carry = init_fn(jnp.asarray(xs, dtype=fused.Y.dtype))
-                    break
-            now = time.time() - t0
-            best_r = int(np.argmin(np.asarray(carry["v"])))
-            for k in range(vals.shape[1]):
-                f_ms.write(
-                    "%d %.2f %s\n"
-                    % (it + k, now, " ".join("%.2f" % (-v) for v in vals[:, k]))
-                )
-                f_log.write("%d %.2f %.2f\n" % (it + k, now, float(-vals[best_r, k])))
-            f_ms.flush()
-            f_log.flush()
-            save_step(
-                d, it + steps_per_dispatch - 1,
-                X=xs[best_r].reshape(np.asarray(X0s).shape[1:]),
-            )
-            it += steps_per_dispatch
-            best = float(np.min(np.asarray(carry["v"])))
-            if prev_best - best < ftol * (abs(prev_best) + 1e-12):
-                stall += 1
-                if stall >= 2:
-                    break
-            else:
-                stall = 0
-            prev_best = min(prev_best, best)
-    finally:
-        f_log.write("optimization finished after %.fs\n" % (time.time() - t0))
-        f_log.close()
-        f_ms.close()
-        with open(os.path.join(d, "finished"), "w") as f:
-            f.write("")
-    final_v = np.asarray(carry["v"])
-    best_r = int(np.argmin(final_v))
-    return np.asarray(carry["x"])[best_r], float(final_v[best_r]), final_v
 
 
 def do_optimization_multistart_theta(
@@ -274,67 +344,10 @@ def do_optimization_multistart_theta(
     file protocol (log.txt / step checkpoints / covs.txt), the per-replica
     objective matrix to ``multistart.txt``.  Returns
     (best_theta, best_v, final_values [R])."""
-    theta0s = np.asarray(theta0s, dtype=np.float64)
-    R = theta0s.shape[0]
-    init_fn, run_fn = make_multistart_runner(fused.loss_fn(), steps_per_dispatch)
-    carry = init_fn(jnp.asarray(theta0s, dtype=fused.dtype))
-    f_log = open(os.path.join(d, "log.txt"), "w")
-    f_ms = open(os.path.join(d, "multistart.txt"), "w")
-    covf = open(os.path.join(d, "covs.txt"), "w")
-    t0 = time.time()
-    it = 0
-    prev_best = np.inf
-    stall = 0
-    try:
-        while it < max_iters and time.time() - t0 < maxsec:
-            carry, (values, accepted, gnorms) = run_fn(carry)
-            vals = np.asarray(values)  # [R, steps] nll
-            thetas = np.asarray(carry["x"], dtype=np.float64)
-            if not np.all(np.isfinite(thetas)):
-                raise FloatingPointError("a replica diverged to non-finite state")
-            for r in range(R):
-                if not fused.check_capacity(thetas[r]):
-                    fused.grow_capacity()
-                    init_fn, run_fn = make_multistart_runner(
-                        fused.loss_fn(), steps_per_dispatch
-                    )
-                    carry = init_fn(jnp.asarray(thetas, dtype=fused.dtype))
-                    break
-            now = time.time() - t0
-            best_r = int(np.argmin(np.asarray(carry["v"])))
-            for k in range(vals.shape[1]):
-                f_ms.write(
-                    "%d %.2f %s\n"
-                    % (it + k, now, " ".join("%.2f" % (-v) for v in vals[:, k]))
-                )
-                f_log.write("%d %.2f %.2f\n" % (it + k, now, float(-vals[best_r, k])))
-            f_ms.flush()
-            f_log.flush()
-            X, FC = fused.unpack_host(thetas[best_r])
-            step_idx = it + steps_per_dispatch - 1
-            save_step(d, step_idx, X=X, FC=FC)
-            if FC is not None:
-                covf.write("%d %s\n" % (step_idx, FC))
-                covf.flush()
-            it += steps_per_dispatch
-            best = float(np.min(np.asarray(carry["v"])))
-            if prev_best - best < ftol * (abs(prev_best) + 1e-12):
-                stall += 1
-                if stall >= 2:
-                    break
-            else:
-                stall = 0
-            prev_best = min(prev_best, best)
-    finally:
-        f_log.write("optimization finished after %.fs\n" % (time.time() - t0))
-        f_log.close()
-        f_ms.close()
-        covf.close()
-        with open(os.path.join(d, "finished"), "w") as f:
-            f.write("")
-    final_v = np.asarray(carry["v"])
-    best_r = int(np.argmin(final_v))
-    return np.asarray(carry["x"], dtype=np.float64)[best_r], float(final_v[best_r]), final_v
+    return _run_multistart(
+        d, fused, theta0s, fused.dtype, fused.unpack_host, True,
+        maxsec, max_iters, steps_per_dispatch, ftol,
+    )
 
 
 def make_lbfgs_runner(loss_fn, num_steps: int, memory_size: int = 10,

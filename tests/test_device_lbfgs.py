@@ -223,3 +223,44 @@ def test_multistart_theta_driver(rng, tmp_path):
     assert os.path.exists(os.path.join(d, "covs.txt"))
     X, FC = fused.unpack_host(best_t)
     assert X.shape == (n, 2) and FC.shape == (1, 4)
+
+
+def test_multistart_sanitize_restarts_diverged_replica(rng):
+    """A replica whose proposal goes non-finite is restarted from its last
+    evaluated point with cleared optimizer memory; healthy replicas are
+    untouched; all-dead raises."""
+    import jax.numpy as jnp
+    import pytest
+    from gprf_tpu.optim.device_lbfgs import (
+        _sanitize_replicas,
+        make_multistart_runner,
+    )
+
+    def loss(x):
+        return jnp.sum((x - 1.0) ** 2)
+
+    init_b, run_b = make_multistart_runner(loss, num_steps=3)
+    x0s = jnp.asarray(rng.normal(size=(2, 6)))
+    carry, _ = run_b(init_b(x0s))
+
+    # poison replica 1's proposal
+    bad = {k: np.array(v) for k, v in carry.items()}
+    bad["x"][1] = np.nan
+    bad["v"][1] = np.nan
+    poisoned = {k: jnp.asarray(v) for k, v in bad.items()}
+    fixed, n = _sanitize_replicas(poisoned)
+    assert n == 1
+    f = {k: np.asarray(v) for k, v in fixed.items()}
+    np.testing.assert_array_equal(f["x"][0], bad["x"][0])  # healthy untouched
+    np.testing.assert_array_equal(f["x"][1], bad["x_prev"][1])  # restarted
+    assert np.isinf(f["v"][1]) and bool(f["first"][1]) and not f["valid"][1].any()
+    # the restarted state must run and recover a finite value
+    carry2, (vals, _, _) = run_b(fixed)
+    assert np.all(np.isfinite(np.asarray(carry2["v"])))
+
+    # every replica dead -> raises
+    bad["x"][0] = np.nan
+    bad["v"][0] = np.nan
+    bad["x_prev"][:] = np.nan
+    with pytest.raises(FloatingPointError):
+        _sanitize_replicas({k: jnp.asarray(v) for k, v in bad.items()})
