@@ -35,7 +35,7 @@ def do_run(
     obs_std=None,
     local_dist=1.0,
     maxsec=3600,
-    max_iters=400,
+    max_iters=None,
     task="x",
     analyze_only=False,
     analyze_full=False,
@@ -138,6 +138,10 @@ def do_run(
                     dtype=dtype, **part,
                 )
 
+            # per-task iteration defaults; an explicit --max_iters wins
+            if max_iters is None:
+                max_iters = 400 if task == "x" else 600
+
             fused = make_fused()
             if task == "x" and multistart > 1:
                 # on-chip multi-start: replica 0 is the standard init, the
@@ -205,14 +209,14 @@ def do_run(
                         theta0s.append(t)
                     _, best_v, final_v = do_optimization_multistart_theta(
                         d, fused, np.stack(theta0s), maxsec=maxsec,
-                        max_iters=max(max_iters, 600),
+                        max_iters=max_iters,
                     )
                     print(
                         "multistart: best replica %d of %d (final objectives %s)"
                         % (int(np.argmin(final_v)), multistart, final_v)
                     )
                 else:
-                    do_optimization_fused_theta(d, fused, theta0, maxsec=maxsec, max_iters=max(max_iters, 600))
+                    do_optimization_fused_theta(d, fused, theta0, maxsec=maxsec, max_iters=max_iters)
         elif gplvm_type != "gprf":
             from gprf_tpu.model.sgplvm import do_sgplvm
 
@@ -297,7 +301,7 @@ def build_parser():
     parser.add_argument("--seed", dest="seed", default=0, type=int, help="seed for generating synthetic data")
     parser.add_argument("--yd", dest="yd", default=50, type=int, help="number of output dimensions to sample")
     parser.add_argument("--maxsec", dest="maxsec", default=3600, type=int, help="maximum seconds to run the optimization")
-    parser.add_argument("--max_iters", dest="max_iters", default=400, type=int, help="device engine: max scan-L-BFGS iterations")
+    parser.add_argument("--max_iters", dest="max_iters", default=None, type=int, help="device engine: max scan-L-BFGS iterations (default 400 for task=x, 600 for cov/xcov)")
     parser.add_argument("--task", dest="task", default="x", type=str, help="'x', 'cov', or 'xcov'")
     parser.add_argument("--analyze", dest="analyze", default=False, action="store_true", help="only analyze existing saved results")
     parser.add_argument("--analyze_full", dest="analyze_full", default=False, action="store_true", help="fuller analysis incl. predictive accuracy")

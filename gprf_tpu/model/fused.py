@@ -27,16 +27,12 @@ from __future__ import annotations
 
 import functools
 
-import math
-
 import numpy as np
 import jax
 import jax.numpy as jnp
 
 from gprf_tpu.kernels.gpcov import GPCov
 from gprf_tpu.model.objective import GPRFParams, gprf_ll, gprf_ll_schur
-
-_LOG2PI = math.log(2.0 * math.pi)
 
 
 def assemble_layout(blocks, B: int, m: int):
@@ -172,151 +168,6 @@ def fused_grid_value_and_grad(
             (1 + g.wfn_params.shape[0] + g.dfn_params.shape[0],), dtype=params.X.dtype
         )
     return -ll, -g.X.reshape(-1), gC, overflow
-
-
-class FusedGridGPRF:
-    """Host wrapper for the fused path: one device round-trip per eval.
-
-    Drop-in for the scipy L-BFGS closure of the synthetic task=x workload;
-    ``loss_fn()`` exposes the pure scalar loss for fully on-device
-    optimizers (:mod:`gprf_tpu.optim.device_lbfgs`).
-    """
-
-    def __init__(self, X0, Y, centers, edges, X_obs, obs_std, cov: GPCov,
-                 noise_var, m=None, pair_mode: str | None = None, dtype=None,
-                 mesh=None):
-        self.mesh = mesh
-        if dtype is None:
-            dtype = jnp.result_type(float)  # f32, or f64 under jax_enable_x64
-        if pair_mode is None:
-            # the Pallas pair kernel needs a real TPU backend and f32; CPU
-            # (tests, virtual meshes) and f64 refinement use the XLA path
-            on_tpu = jax.default_backend() == "tpu"
-            pair_mode = "schur_pallas" if (on_tpu and dtype == jnp.float32) else "schur"
-        self.pair_mode = pair_mode
-        self.Y = jnp.asarray(Y, dtype=dtype)
-        self.centers = jnp.asarray(np.asarray(centers))
-        edges = np.asarray(edges, dtype=np.int32).reshape(-1, 2)
-        self.edges = jnp.asarray(edges)
-        B = len(centers)
-        counts = np.zeros(B, dtype=np.int64)
-        for i, j in edges:
-            counts[i] += 1
-            counts[j] += 1
-        self.unary_weights = jnp.asarray(1.0 - counts.astype(np.float64), dtype=self.Y.dtype)
-        self.X_obs_flat = jnp.asarray(np.asarray(X_obs).reshape(-1), dtype=self.Y.dtype)
-        self.obs_std = float(obs_std)
-        self.cov = cov
-        self.noise_var = float(noise_var)
-        self.shape = np.asarray(X0).shape
-        if m is None:
-            # initial capacity: the current max block size padded to 8;
-            # compute cost scales with m^3, so no speculative headroom —
-            # overflow (rare membership drift) triggers a grow+recompile
-            from gprf_tpu.partition.grid import Blocker
-
-            b = Blocker(np.asarray(centers))
-            sizes = [len(ix) for ix in b.block_clusters(np.asarray(X0))]
-            m = (max(sizes) + 7) // 8 * 8
-        self.m = m
-
-    def _params(self, x_flat):
-        dtype = self.Y.dtype
-        return GPRFParams(
-            X=jnp.asarray(np.asarray(x_flat).reshape(self.shape), dtype=dtype),
-            wfn_params=jnp.asarray(self.cov.wfn_params, dtype=dtype),
-            dfn_params=jnp.asarray(self.cov.dfn_params, dtype=dtype),
-            noise_var=jnp.asarray(self.noise_var, dtype=dtype),
-        )
-
-    def loss_fn(self):
-        """Pure scalar loss x_flat -> nll for in-jit optimizers.  Closes
-        over the current capacity m; rebuild after capacity growth."""
-        Y, centers, edges = self.Y, self.centers, self.edges
-        unary_weights, X_obs_flat = self.unary_weights, self.X_obs_flat
-        obs_std, m, shape = self.obs_std, self.m, self.shape
-        dtype = Y.dtype
-        wfn_params = jnp.asarray(self.cov.wfn_params, dtype=dtype)
-        dfn_params = jnp.asarray(self.cov.dfn_params, dtype=dtype)
-        noise_var = jnp.asarray(self.noise_var, dtype=dtype)
-        dfn_str, wfn_str = self.cov.dfn_str, self.cov.wfn_str
-
-        pair_mode = self.pair_mode
-        mesh = self.mesh
-
-        def loss(x_flat):
-            params = GPRFParams(
-                X=x_flat.reshape(shape),
-                wfn_params=wfn_params,
-                dfn_params=dfn_params,
-                noise_var=noise_var,
-            )
-            ll, _ = fused_grid_objective(
-                params, Y, centers, edges, unary_weights, X_obs_flat, obs_std,
-                m=m, dfn_str=dfn_str, wfn_str=wfn_str, pair_mode=pair_mode,
-                mesh=mesh,
-            )
-            return -ll
-
-        return loss
-
-    def check_capacity(self, x_flat) -> bool:
-        """True if the current capacity m holds all blocks at x_flat."""
-        from gprf_tpu.partition.grid import Blocker
-
-        b = Blocker(np.asarray(self.centers))
-        sizes = [len(ix) for ix in b.block_clusters(np.asarray(x_flat).reshape(self.shape))]
-        return max(sizes) <= self.m
-
-    def check_capacity_batch(self, x_stack) -> bool:
-        """Capacity check over an [R, n*dx] replica stack in ONE device
-        dispatch, using the same on-device argmin assignment the fused
-        objective itself applies (see fused_grid_objective)."""
-        R = np.asarray(x_stack).shape[0]
-        Xs = jnp.asarray(
-            np.asarray(x_stack, dtype=np.float64).reshape((R,) + self.shape),
-            dtype=self.Y.dtype,
-        )
-        centers = jnp.asarray(np.asarray(self.centers), dtype=Xs.dtype)
-        B = centers.shape[0]
-
-        def assign(X):
-            scores = -2.0 * jnp.dot(
-                X, centers.T, precision=jax.lax.Precision.HIGHEST
-            ) + jnp.sum(centers * centers, axis=1)
-            return jnp.argmin(scores, axis=1)
-
-        counts = jax.vmap(
-            lambda X: jnp.bincount(assign(X), length=B)
-        )(Xs)
-        return int(jax.device_get(jnp.max(counts))) <= self.m
-
-    def grow_capacity(self):
-        self.m += 16
-
-    def value_and_grad(self, x_flat):
-        """(nll, ngrad) for the scipy driver; grows capacity on overflow."""
-        params = self._params(x_flat)
-        while True:
-            nll, ngrad, _, overflow = jax.device_get(
-                fused_grid_value_and_grad(
-                    params,
-                    self.Y,
-                    self.centers,
-                    self.edges,
-                    self.unary_weights,
-                    self.X_obs_flat,
-                    self.obs_std,
-                    m=self.m,
-                    dfn_str=self.cov.dfn_str,
-                    wfn_str=self.cov.wfn_str,
-                    pair_mode=self.pair_mode,
-                    mesh=self.mesh,
-                )
-            )
-            if not overflow:
-                return float(nll), np.array(ngrad, dtype=np.float64)
-            self.grow_capacity()  # recompiles at the new m
 
 
 class FusedSyntheticGPRF:
@@ -547,3 +398,60 @@ class FusedSyntheticGPRF:
             return -ll
 
         return loss
+
+
+class FusedGridGPRF(FusedSyntheticGPRF):
+    """Grid task=x specialization of :class:`FusedSyntheticGPRF` — the
+    flagship-benchmark entry point, kept as a named class for its reference
+    signature (X0, Y, centers, edges, ...) and for the scipy-driver bridge
+    :meth:`value_and_grad` (one-dispatch objective+gradient with in-dispatch
+    overflow detection, :func:`fused_grid_value_and_grad`).  All state,
+    layout, and loss construction live in the base class — the two were
+    once separate implementations tested equal at 1e-12
+    (tests/test_fused_synthetic.py::test_fused_task_x_matches_fusedgrid).
+    """
+
+    def __init__(self, X0, Y, centers, edges, X_obs, obs_std, cov: GPCov,
+                 noise_var, m=None, pair_mode: str | None = None, dtype=None,
+                 mesh=None):
+        super().__init__(
+            X0, Y, edges, X_obs, obs_std, cov, noise_var, task="x",
+            centers=centers, m=m, pair_mode=pair_mode, dtype=dtype, mesh=mesh,
+        )
+
+    @property
+    def pair_mode(self) -> str:
+        return "schur_pallas" if self.use_pallas else "schur"
+
+    def _params(self, x_flat):
+        dtype = self.dtype
+        return GPRFParams(
+            X=jnp.asarray(np.asarray(x_flat).reshape(self.shape), dtype=dtype),
+            wfn_params=jnp.asarray(self.cov.wfn_params, dtype=dtype),
+            dfn_params=jnp.asarray(self.cov.dfn_params, dtype=dtype),
+            noise_var=jnp.asarray(self.noise_var, dtype=dtype),
+        )
+
+    def value_and_grad(self, x_flat):
+        """(nll, ngrad) for the scipy driver; grows capacity on overflow."""
+        params = self._params(x_flat)
+        while True:
+            nll, ngrad, _, overflow = jax.device_get(
+                fused_grid_value_and_grad(
+                    params,
+                    self.Y,
+                    self.centers,
+                    self.edges,
+                    self.unary_weights,
+                    self.X_obs_flat,
+                    self.obs_std,
+                    m=self.m,
+                    dfn_str=self.cov.dfn_str,
+                    wfn_str=self.cov.wfn_str,
+                    pair_mode=self.pair_mode,
+                    mesh=self.mesh,
+                )
+            )
+            if not overflow:
+                return float(nll), np.array(ngrad, dtype=np.float64)
+            self.grow_capacity()  # recompiles at the new m

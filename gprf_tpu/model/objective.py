@@ -33,6 +33,10 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from gprf_tpu.kernels.covfn import cross_kernel_matrix
+from gprf_tpu.kernels.gpcov import GPCov
+from gprf_tpu.linalg.masked import masked_gaussian_ll
+
 # measured-and-lost alternative (kept opt-in for re-measurement, like
 # GPRF_WIDE_LANES): route the pair term through the fused chol+inv kernel +
 # MXU-matmul solve instead of the fused MVN kernel.  15.5 vs 4.8 ms/eval at
@@ -46,9 +50,11 @@ _PAIR_CHOLINV = os.environ.get("GPRF_PAIR_CHOLINV", "0") == "1"
 # XLA triangular inverse instead of the fused chol+inv lanes kernel.
 _UNARY_DOUBLING = os.environ.get("GPRF_UNARY_DOUBLING", "0") == "1"
 
-from gprf_tpu.kernels.covfn import cross_kernel_matrix
-from gprf_tpu.kernels.gpcov import GPCov
-from gprf_tpu.linalg.masked import masked_gaussian_ll
+# wide-m (m > 512) lanes-kernel panels instead of the XLA blocked panels —
+# measured SLOWER at the 80k shapes (docs/RESULTS.md); kept for
+# re-measurement.  Like every toggle here: read once at import, A/B by
+# running fresh processes (the jit cache is not keyed on env vars).
+_WIDE_LANES = os.environ.get("GPRF_WIDE_LANES", "0") == "1"
 
 
 class GPRFParams(NamedTuple):
@@ -171,10 +177,7 @@ def _schur_ll(
     # XLA is already MXU-bound at ~18% f32 MFU there) — keep it opt-in.
     f64 = jnp.result_type(X.dtype) == jnp.float64
     m_pad = assignment.shape[1]
-    use_lanes_blocked = (
-        use_pallas and not f64
-        and os.environ.get("GPRF_WIDE_LANES", "0") == "1"
-    )
+    use_lanes_blocked = use_pallas and not f64 and _WIDE_LANES
     wide = m_pad > 512 or f64
 
     if use_lanes_blocked and wide:

@@ -124,8 +124,13 @@ def train_predictor(gprf, test_cov: GPCov | None = None, Y=None,
         test_cov = gprf.cov
 
     arrays = gprf.layout.device_arrays()
+    # snapshot contract: the predictor is trained on gprf.X AS OF NOW — the
+    # cached (K^-1, alpha) are functions of this X, so both combine modes
+    # evaluate query kernels against the same snapshot (a later update_X
+    # does not silently mix stale factors with fresh kernels)
+    X_snap = np.array(gprf.X, copy=True)
     Kinvs, Alphas = _block_caches(
-        jnp.asarray(gprf.X),
+        jnp.asarray(X_snap),
         jnp.asarray(Y),
         arrays["assignment"],
         arrays["mask"],
@@ -150,25 +155,66 @@ def train_predictor(gprf, test_cov: GPCov | None = None, Y=None,
     if combine == "device":
         assignment = np.asarray(arrays["assignment"])
         maskh = np.asarray(arrays["mask"])
-        Xpad = np.asarray(gprf.X)[assignment]  # [B, m, dx]
+        Xpad = X_snap[assignment]  # [B, m, dx]
+        m = assignment.shape[1]
+        euclid = gprf.cov.dfn_str == "euclidean"
 
         def predict(Xstar, test_noise_var: float = 0.0, local: bool = False):
             Xstar = np.asarray(Xstar)
+            q0 = Xstar.shape[0]
             src = np.asarray(_source_blocks(Xstar), dtype=np.int64)
+            S0 = len(src)
+            # shape bucketing: the analysis loop calls with a different
+            # (q, S) per test block; each unique pair is a fresh remote XLA
+            # compile.  Pad S with zero-mask dummy experts (exact: their
+            # message is prec - pp = 0) and, for euclidean kernels, pad q
+            # with far-away query points whose cross-kernel underflows to
+            # exactly 0 (block-diagonal final precision; real block
+            # unaffected), then crop.
+            Sp = max(-(-S0 // 4) * 4, 4)
+            Kinv_b = np.zeros((Sp, m, m), dtype=np.asarray(Kinvs).dtype)
+            Alpha_b = np.zeros((Sp, m, Alphas.shape[2]), dtype=Kinv_b.dtype)
+            mask_b = np.zeros((Sp, m), dtype=bool)
+            X_b = np.zeros((Sp, m, Xpad.shape[2]), dtype=Xpad.dtype)
+            Kinv_b[:S0] = np.asarray(Kinvs)[src]
+            Alpha_b[:S0] = np.asarray(Alphas)[src]
+            mask_b[:S0] = maskh[src]
+            X_b[:S0] = Xpad[src]
+            if euclid:
+                qp = -(-q0 // 32) * 32
+                if qp > q0:
+                    far = np.tile(Xstar[:1], (qp - q0, 1))
+                    far[:, 0] += 1e5 * (1.0 + np.arange(qp - q0))
+                    Xq = np.concatenate([Xstar, far], axis=0)
+                else:
+                    Xq = Xstar
+            else:
+                Xq = Xstar
             expert_nv = gprf.noise_var if test_noise_var > 0 else 0.0
             mean, cov = _combine_device(
-                jnp.asarray(Xstar),
-                jnp.asarray(Xpad[src]),
-                Kinvs[jnp.asarray(src)],
-                Alphas[jnp.asarray(src)],
-                jnp.asarray(maskh[src]),
+                jnp.asarray(Xq),
+                jnp.asarray(X_b),
+                jnp.asarray(Kinv_b),
+                jnp.asarray(Alpha_b),
+                jnp.asarray(mask_b),
                 gprf.cov,
                 test_cov,
                 jnp.asarray(expert_nv, dtype=jnp.result_type(float)),
                 jnp.asarray(test_noise_var, dtype=jnp.result_type(float)),
             )
             mean, cov = jax.device_get((mean, cov))
-            return np.array(mean), np.array(cov)
+            mean = np.array(mean)[:q0]
+            cov = np.array(cov)[:q0, :q0]
+            if not (np.all(np.isfinite(mean)) and np.all(np.isfinite(cov))):
+                # the host oracle's np.linalg.inv raises here; an unjittered
+                # Cholesky of a singular expert posterior (e.g. coincident
+                # query points with test_noise_var=0) NaNs silently instead
+                raise np.linalg.LinAlgError(
+                    "BCM combination produced non-finite values (singular "
+                    "expert posterior? coincident query points with "
+                    "test_noise_var=0?)"
+                )
+            return mean, cov
 
         return predict
 
@@ -193,7 +239,7 @@ def train_predictor(gprf, test_cov: GPCov | None = None, Y=None,
 
         for i in _source_blocks(Xstar):
             nb = int(sizes[i])
-            Xi = gprf.X[block_idxs[i]]
+            Xi = X_snap[block_idxs[i]]
             Kinv = Kinvs[i, :nb, :nb]
             alpha = Alphas[i, :nb]
             Kstar = k_np(gprf.cov, Xstar, Xi)

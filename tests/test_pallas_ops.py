@@ -211,7 +211,7 @@ def test_blocked_lanes_gradients(rng):
 
 def test_pallas_tri_inv_multi_panel(rng):
     """m large enough that the column-paneled kernel runs ncp > 1 panels."""
-    m = 136  # flagship width; cols=64 -> 3 panels incl. a padded one
+    m = 136  # flagship width; cols=32 -> 5 panels incl. a padded one
     K = _spd_batch(rng, 2, m)
     L = np.linalg.cholesky(K)
     from gprf_tpu.ops.pallas_mvn import batched_tri_inv_pallas
@@ -228,7 +228,7 @@ def test_pallas_chol_inv_matches_xla(rng):
     """Fused chol+inv kernel: both outputs, multi-panel width, odd batch."""
     from gprf_tpu.ops.pallas_mvn import batched_chol_inv_pallas
 
-    m = 136  # 3 column panels at cols=64 (incl. a padded one)
+    m = 136  # 5 column panels at cols=32 (incl. a padded one)
     K = _spd_batch(rng, 3, m)
     L, W = batched_chol_inv_pallas(jnp.asarray(K), True)
     L, W = np.asarray(L), np.asarray(W)
