@@ -60,16 +60,29 @@ def analyze_run(d, sdata, local_dist=1.0, predict=False):
             smse = smse_local = msll_local_block = msll_block = msll_local_diag = msll_diag = 0.0
         return c1, l1, l2, smse_local, smse, msll_local_block, msll_block, msll_local_diag, msll_diag
 
+    # the device loop checkpoints every steps_per_dispatch iterations while
+    # log.txt has a row per iteration: rows between checkpoints carry the
+    # last checkpointed state forward (initial state = the observed X, the
+    # optimizer's starting point — NEVER the true latents, which would
+    # report oracle-quality metrics for steps that never achieved them),
+    # and their metrics are reused rather than recomputed
+    prev_X, prev_FC, prev_metrics = None, None, None
     for i, step in enumerate(steps):
+        loaded = False
         try:
             X = np.load(step_x_path(d, step))
+            loaded = True
         except (IOError, OSError):
-            X = sdata.SX
+            X = prev_X if prev_X is not None else np.asarray(sdata.X_obs)
         try:
             FC = np.load(step_cov_path(d, step))
+            loaded = True
         except (IOError, OSError):
-            FC = None
-        c1, l1, l2, smse_local, smse, mlb, mb, mld, md = row_metrics(X, FC, predict)
+            FC = prev_FC
+        if loaded or prev_metrics is None:
+            prev_metrics = row_metrics(X, FC, predict)
+            prev_X, prev_FC = X, FC
+        c1, l1, l2, smse_local, smse, mlb, mb, mld, md = prev_metrics
         s = "%d %.2f %.2f %.8f %.8f %.8f %.4f %.4f %.4f %.4f %.4f %.4f" % (
             step, times[i], lls[i], c1, l1, l2, smse_local, smse, mlb, mb, mld, md,
         )

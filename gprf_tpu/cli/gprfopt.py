@@ -16,6 +16,13 @@ import os
 
 import numpy as np
 
+# persistent XLA compile cache: CLI entry points run in fresh processes and
+# the remote-compile path dominates cold-start (~30-220 s for big programs)
+import jax as _jax
+
+_jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
+_jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 from gprf_tpu.analysis.results import analyze_run
 from gprf_tpu.data.sampled import exp_base_dir, sample_data
 from gprf_tpu.optim.driver import do_optimization

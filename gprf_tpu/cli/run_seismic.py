@@ -16,6 +16,13 @@ import os
 
 import numpy as np
 
+# persistent XLA compile cache: CLI entry points run in fresh processes and
+# the remote-compile path dominates cold-start (~30-220 s for big programs)
+import jax as _jax
+
+_jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
+_jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 from gprf_tpu.data.seismic import (
     COL_DEPTH,
     COL_LAT,
@@ -56,7 +63,8 @@ def seismic_exp_dir(args):
     return d
 
 
-def analyze_run_result(args, gprf, x_prior, X_true, cov_true, lscale_true):
+def analyze_run_result(args, gprf, x_prior, X_true, cov_true, lscale_true,
+                       X0=None):
     """Per-step mean/median km error vs catalog locations + true-X objective
     (``run_seismic.py:235-288``)."""
     d = seismic_exp_dir(args)
@@ -65,15 +73,23 @@ def analyze_run_result(args, gprf, x_prior, X_true, cov_true, lscale_true):
     results = open(rfname, "w")
     print("writing results to", rfname)
 
+    # rows between checkpoints carry the last checkpointed state forward;
+    # the pre-optimization fallback is the observed locations X0 (NEVER
+    # X_true, which would report zero error for steps that never achieved
+    # it)
+    prev_X, prev_FC = None, None
     for i, step in enumerate(steps):
         try:
             X = np.load(step_x_path(d, step))
         except (IOError, OSError):
-            X = X_true
+            X = prev_X if prev_X is not None else (
+                X0 if X0 is not None else X_true
+            )
         try:
             FC = np.load(step_cov_path(d, step))
         except (IOError, OSError):
-            FC = None
+            FC = prev_FC
+        prev_X, prev_FC = X, FC
         c1 = FC[0, 2] / lscale_true if FC is not None else 1.0
         l1, l2 = mad(X_true, X)
         s = "%d %.2f %.2f %.8f %.8f %.8f" % (step, times[i], lls[i], c1, l1, l2)
@@ -238,7 +254,9 @@ def main(argv=None):
             )
 
     if args.task in ("x", "xcov"):
-        analyze_run_result(args, gprf, x_prior, X_true, cov_true, args.synth_lscale)
+        analyze_run_result(
+            args, gprf, x_prior, X_true, cov_true, args.synth_lscale, X0=means
+        )
 
 
 if __name__ == "__main__":

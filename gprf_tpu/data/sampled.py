@@ -187,8 +187,16 @@ class SampledData:
         """(SMSE, MSLL_block, MSLL_diag) of the BCM predictor on the test
         split vs the mean/std baseline (reference ``gprfopt.py:121-170``)."""
         gprf = self.build_gprf(X=X, cov=cov, local_dist=local_dist)
-        p = gprf.train_predictor()
         test_blocks = self.reblock(self.Xtest)
+        # one device dispatch answers every test block (predict.py:
+        # train_block_predictor); the per-call predictor costs a transport
+        # round-trip per block on a tunneled TPU
+        from gprf_tpu.model.predict import train_block_predictor
+
+        predict_blocks = train_block_predictor(gprf)
+        results = predict_blocks(
+            test_blocks, self.Xtest, test_noise_var=self.noise_var
+        )
 
         def gaussian_ll(Y, M, C):
             ntest, yd = Y.shape
@@ -202,11 +210,11 @@ class SampledData:
         ll_block = 0.0
         ll_block_diag = 0.0
         se_block = 0.0
-        for idxs in test_blocks:
+        for t, idxs in enumerate(test_blocks):
             if len(idxs) == 0:
                 continue
             Yt = self.Ytest[idxs]
-            PM, PC = p(self.Xtest[idxs], test_noise_var=self.noise_var)
+            PM, PC = results[t]
             ll_block += gaussian_ll(Yt, PM, PC)
             ll_block_diag += gaussian_ll(Yt, PM, np.diag(np.diag(PC)))
             se_block += np.sum((Yt - PM) ** 2)

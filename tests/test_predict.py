@@ -126,3 +126,34 @@ def test_device_combine_with_test_cov(rng):
     m_h, c_h = train_predictor(g, test_cov=test_cov, combine="host")(Xstar, 0.01)
     np.testing.assert_allclose(m_d, m_h, rtol=1e-8, atol=1e-10)
     np.testing.assert_allclose(c_d, c_h, rtol=1e-8, atol=1e-10)
+
+
+def test_block_predictor_matches_per_call(rng):
+    """One-dispatch whole-test-set prediction == per-block host-oracle
+    calls, across ragged block sizes, source-set sizes, and both padding
+    axes (q to 8, S to >=2)."""
+    from gprf_tpu.model.predict import train_block_predictor, train_predictor
+
+    n, dy = 120, 3
+    X = rng.uniform(size=(n, 2))
+    Y = rng.normal(size=(n, dy))
+    cov = GPCov.create([1.0], [0.25, 0.25])
+    b = Blocker(grid_centers(9))
+    g = GPRF(X, Y, b.block_clusters, cov, 0.05,
+             block_idxs=b.block_clusters(X), neighbors=b.neighbors())
+
+    Xtest = rng.uniform(size=(40, 2))
+    test_blocks = b.block_clusters(Xtest)
+
+    predict_blocks = train_block_predictor(g)
+    results = predict_blocks(test_blocks, Xtest, test_noise_var=0.05)
+
+    p_host = train_predictor(g, combine="host")
+    for t, idxs in enumerate(test_blocks):
+        if len(idxs) == 0:
+            assert t not in results
+            continue
+        m_b, c_b = results[t]
+        m_h, c_h = p_host(Xtest[idxs], test_noise_var=0.05)
+        np.testing.assert_allclose(m_b, m_h, rtol=1e-6, atol=1e-8)
+        np.testing.assert_allclose(c_b, c_h, rtol=1e-6, atol=1e-8)
