@@ -347,6 +347,11 @@ class FusedSyntheticGPRF:
         mesh = self.mesh
         use_pallas = self.use_pallas
         pair_chunk = self.pair_chunk
+        if pair_chunk is None and m > 512:
+            # wide-m default: bound the pair pass at [chunk, m, m] with
+            # remat (docs/RESULTS.md chunk sweep at the 80k shapes pins 64;
+            # unchunked, the [E, m, m] chain OOMs under multi-start vmap)
+            pair_chunk = 64
         cov_scale = self.COV_SCALE
         assign = self._assign_device
         dfn_str, wfn_str = base_cov.dfn_str, base_cov.wfn_str
