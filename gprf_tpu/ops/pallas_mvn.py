@@ -88,13 +88,25 @@ _LOG_2PI = math.log(2.0 * math.pi)
 _LANES = 128
 
 # largest m whose [m, m, 128] f32 scratch (+ the MVN kernel's residual
-# buffer) fits comfortably in VMEM; larger matrices fall back to XLA
+# buffer) fits comfortably in VMEM; larger matrices fall back to XLA.
+# Half-width (T=64) lane tiles would extend the cap to m ~ 224 (e.g. the
+# seismic m=192 partition) but Mosaic rejects them: HBM<->VMEM DMA slices
+# must be 128-aligned in the minor (lane) dimension ("Slice shape along
+# dimension 3 must be aligned to tiling (128)", measured on v5e) — the
+# tile width is a hardware tiling constant, not a free parameter.
 MAX_M_CHOL = 168
 MAX_M_MVN = 144
 
 
+def _tile_for(m: int, for_mvn: bool = False) -> int | None:
+    """Lane-tile width for width m, or None when VMEM can't fit it."""
+    if m <= (MAX_M_MVN if for_mvn else MAX_M_CHOL):
+        return _LANES
+    return None
+
+
 def pallas_supported(m: int, for_mvn: bool = False) -> bool:
-    return m <= (MAX_M_MVN if for_mvn else MAX_M_CHOL)
+    return _tile_for(m, for_mvn) is not None
 
 
 def _chol_kernel(k_hbm, lt_hbm):
@@ -144,9 +156,9 @@ def batched_cholesky_pallas(K, interpret: bool = False):
     tiled into the 128-wide lane dimension; B pads up to the tile.
     """
     B, m, _ = K.shape
-    if m > MAX_M_CHOL:
+    T = _tile_for(m)
+    if T is None:
         return jnp.linalg.cholesky(K)  # VMEM-bound: fall back to XLA
-    T = _LANES
     nb = (B + T - 1) // T
     padB = nb * T
     Kp = jnp.concatenate(
@@ -266,14 +278,15 @@ def _tri_inv_kernel(l_hbm, w_hbm, *, cols: int):
     )
 
 
-def _tri_inv_cols(m: int, budget_bytes: int = 14 * 1024 * 1024) -> int:
+def _tri_inv_cols(m: int, T: int = _LANES,
+                  budget_bytes: int = 14 * 1024 * 1024) -> int:
     """Largest panel width (multiple of 8, <= 64) whose L + panel scratch
-    fits the VMEM budget.  The panel is charged twice: the substitution
-    step's broadcast-multiply materializes one [m, cols, T] temporary
-    alongside the panel itself (observed in Mosaic's scoped-vmem
-    accounting)."""
-    l_bytes = m * m * _LANES * 4
-    c = (budget_bytes - l_bytes) // (2 * m * _LANES * 4)
+    fits the VMEM budget at lane-tile width T.  The panel is charged
+    twice: the substitution step's broadcast-multiply materializes one
+    [m, cols, T] temporary alongside the panel itself (observed in
+    Mosaic's scoped-vmem accounting)."""
+    l_bytes = m * m * T * 4
+    c = (budget_bytes - l_bytes) // (2 * m * T * 4)
     return max(8, min(64, int(c) // 8 * 8))
 
 
@@ -285,12 +298,12 @@ def batched_tri_inv_pallas(L, interpret: bool = False):
     :func:`batched_cholesky_pallas`; m beyond the VMEM budget falls back to
     an XLA triangular solve against the identity."""
     B, m, _ = L.shape
-    if m > MAX_M_CHOL:
+    T = _tile_for(m)
+    if T is None:
         eye = jnp.broadcast_to(jnp.eye(m, dtype=L.dtype), L.shape)
         return jax.lax.linalg.triangular_solve(
             L, eye, left_side=True, lower=True, transpose_a=False
         )
-    T = _LANES
     nb = (B + T - 1) // T
     padB = nb * T
     Lp = jnp.concatenate(
@@ -298,7 +311,7 @@ def batched_tri_inv_pallas(L, interpret: bool = False):
     )
     Ll = jnp.transpose(Lp.reshape(nb, T, m, m), (0, 2, 3, 1))
 
-    cols = _tri_inv_cols(m)
+    cols = _tri_inv_cols(m, T)
     ncp = (m + cols - 1) // cols
     w = _tri_inv_core(interpret)(Ll)
     # buffer-assignment guard: without the barrier XLA stack-allocates this
@@ -314,7 +327,7 @@ def batched_tri_inv_pallas(L, interpret: bool = False):
 def _tri_inv_core(interpret: bool):
     def core(Ll):
         nb, m, _, T = Ll.shape
-        cols = _tri_inv_cols(m)
+        cols = _tri_inv_cols(m, T)
         ncp = (m + cols - 1) // cols
         return pl.pallas_call(
             functools.partial(_tri_inv_kernel, cols=cols),
@@ -433,14 +446,14 @@ def batched_chol_inv_pallas(K, interpret: bool = False):
     Falls back to XLA cholesky + triangular_solve beyond the VMEM cap
     (the VJP formula is layout-agnostic)."""
     B, m, _ = K.shape
-    if m > MAX_M_CHOL:
+    T = _tile_for(m)
+    if T is None:
         L = jnp.linalg.cholesky(K)
         eye = jnp.broadcast_to(jnp.eye(m, dtype=K.dtype), K.shape)
         W = jax.lax.linalg.triangular_solve(
             L, eye, left_side=True, lower=True, transpose_a=False
         )
         return L, W
-    T = _LANES
     nb = (B + T - 1) // T
     padB = nb * T
     Kp = jnp.concatenate(
@@ -448,7 +461,7 @@ def batched_chol_inv_pallas(K, interpret: bool = False):
     )
     Kl = jnp.transpose(Kp.reshape(nb, T, m, m), (0, 2, 3, 1))
 
-    cols = _tri_inv_cols(m)
+    cols = _tri_inv_cols(m, T)
     ncp = (m + cols - 1) // cols
     lt, w = _chol_inv_core(interpret)(Kl)
     # see batched_tri_inv_pallas: keep XLA from stack-allocating these in
@@ -464,7 +477,7 @@ def batched_chol_inv_pallas(K, interpret: bool = False):
 def _chol_inv_core(interpret: bool):
     def core(Kl):
         nb, m, _, T = Kl.shape
-        cols = _tri_inv_cols(m)
+        cols = _tri_inv_cols(m, T)
         ncp = (m + cols - 1) // cols
         return pl.pallas_call(
             functools.partial(_chol_inv_kernel, cols=cols),
@@ -588,7 +601,8 @@ def _mvn_forward(Kp, Ym, n_active, interpret=False):
     outside."""
     B, m, _ = Kp.shape
     dy = Ym.shape[2]
-    T = _LANES
+    T = _tile_for(m, for_mvn=True)
+    assert T is not None, f"MVN kernel unsupported at m={m}"
     nb = (B + T - 1) // T
     padB = nb * T
     Kx = jnp.concatenate(
@@ -644,7 +658,7 @@ def batched_mvn_ll_pallas(Kp, Ym, n_active, interpret=False):
 def _mvn_fwd(Kp, Ym, n_active, interpret):
     ll, lt = _mvn_forward(Kp, Ym, n_active, interpret=interpret)
     B, m, _ = Kp.shape
-    padB = lt.shape[0] * _LANES
+    padB = lt.shape[0] * lt.shape[-1]
     Lt = jnp.transpose(lt, (0, 3, 1, 2)).reshape(padB, m, m)[:B]
     L = jnp.transpose(Lt, (0, 2, 1))
     return ll, (L, Ym)
