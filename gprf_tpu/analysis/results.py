@@ -35,9 +35,14 @@ RESULT_COLS = {
 }
 
 
-def analyze_run(d, sdata, local_dist=1.0, predict=False):
+def analyze_run(d, sdata, local_dist=1.0, predict=False, X0=None):
     """Recompute metrics for every checkpointed step and write results.txt
-    (reference ``analyze_run``, ``gprfopt.py:453-516``)."""
+    (reference ``analyze_run``, ``gprfopt.py:453-516``).
+
+    ``X0`` is the run's actual initial/pinned latents — the fallback when a
+    row has no X checkpoint.  task=cov runs pin X at the TRUE latents and
+    never checkpoint X, so the default X_obs fallback would misreport
+    their metrics; the CLI passes the per-task anchor."""
     steps, times, lls = load_log(d)
     rfname = os.path.join(d, "results.txt")
     results = open(rfname, "w")
@@ -73,7 +78,9 @@ def analyze_run(d, sdata, local_dist=1.0, predict=False):
             X = np.load(step_x_path(d, step))
             loaded = True
         except (IOError, OSError):
-            X = prev_X if prev_X is not None else np.asarray(sdata.X_obs)
+            X = prev_X if prev_X is not None else np.asarray(
+                X0 if X0 is not None else sdata.X_obs
+            )
         try:
             FC = np.load(step_cov_path(d, step))
             loaded = True

@@ -242,7 +242,10 @@ def do_run(
                 d, gprf, X0, C0, data, method=method, maxsec=maxsec, parallel=parallel
             )
 
-    analyze_run(d, data, local_dist=local_dist, predict=analyze_full)
+    analyze_run(
+        d, data, local_dist=local_dist, predict=analyze_full,
+        X0=(data.SX if task == "cov" else X0),
+    )
 
 
 def build_run_name(args):

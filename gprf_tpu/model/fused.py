@@ -419,6 +419,13 @@ class FusedGridGPRF(FusedSyntheticGPRF):
     def __init__(self, X0, Y, centers, edges, X_obs, obs_std, cov: GPCov,
                  noise_var, m=None, pair_mode: str | None = None, dtype=None,
                  mesh=None):
+        if pair_mode is not None and not pair_mode.startswith("schur"):
+            # the base class only carries the Schur forms; the joint-form
+            # objective lives in gprf_ll / fused_grid_objective directly
+            raise ValueError(
+                f"unsupported pair_mode {pair_mode!r}: use 'schur' or "
+                "'schur_pallas' (the joint form is gprf_ll)"
+            )
         super().__init__(
             X0, Y, edges, X_obs, obs_std, cov, noise_var, task="x",
             centers=centers, m=m, pair_mode=pair_mode, dtype=dtype, mesh=mesh,

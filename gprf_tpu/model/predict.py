@@ -282,6 +282,11 @@ def train_predictor(gprf, test_cov: GPCov | None = None, Y=None,
         Xpad = X_snap[assignment]  # [B, m, dx]
         m = assignment.shape[1]
         euclid = gprf.cov.dfn_str == "euclidean"
+        # hoist the device->host copies of the caches out of the per-call
+        # closure ([B, m, m] each; copying per predict() would cost tens of
+        # MB over the tunnel per query batch)
+        Kinvs_h = np.asarray(Kinvs)
+        Alphas_h = np.asarray(Alphas)
 
         def predict(Xstar, test_noise_var: float = 0.0, local: bool = False):
             Xstar = np.asarray(Xstar)
@@ -296,12 +301,12 @@ def train_predictor(gprf, test_cov: GPCov | None = None, Y=None,
             # exactly 0 (block-diagonal final precision; real block
             # unaffected), then crop.
             Sp = max(-(-S0 // 4) * 4, 4)
-            Kinv_b = np.zeros((Sp, m, m), dtype=np.asarray(Kinvs).dtype)
-            Alpha_b = np.zeros((Sp, m, Alphas.shape[2]), dtype=Kinv_b.dtype)
+            Kinv_b = np.zeros((Sp, m, m), dtype=Kinvs_h.dtype)
+            Alpha_b = np.zeros((Sp, m, Alphas_h.shape[2]), dtype=Kinv_b.dtype)
             mask_b = np.zeros((Sp, m), dtype=bool)
             X_b = np.zeros((Sp, m, Xpad.shape[2]), dtype=Xpad.dtype)
-            Kinv_b[:S0] = np.asarray(Kinvs)[src]
-            Alpha_b[:S0] = np.asarray(Alphas)[src]
+            Kinv_b[:S0] = Kinvs_h[src]
+            Alpha_b[:S0] = Alphas_h[src]
             mask_b[:S0] = maskh[src]
             X_b[:S0] = Xpad[src]
             if euclid:

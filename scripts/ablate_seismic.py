@@ -60,7 +60,15 @@ def main():
     prior_std = 20.0 * np.array([0.01, 0.01, 1.0])
     means = X_true + rng.randn(*X_true.shape) * prior_std
     cluster_idxs, reblock = pdtree_cluster(means, blocksize=210)
-    neighbors = np.load("/root/repo/neighbors_12000_210_0.600_20.000.npy")
+    nf = "/root/repo/neighbors_%d_%d_%.3f_%.3f.npy" % (len(means), 210, 0.6, 20.0)
+    try:
+        neighbors = np.load(nf)
+    except (IOError, OSError):
+        # fresh checkout: derive the edge set the same way the CLI does
+        g = GPRF(means, SY, reblock, cov, 0.1, neighbor_threshold=0.6,
+                 block_idxs=cluster_idxs)
+        neighbors = np.asarray(g.neighbors, dtype=np.int32).reshape(-1, 2)
+        np.save(nf, neighbors)
 
     X2 = means[:, :2].copy()
     X2[:, 0] = wrap_lon(X2[:, 0])
