@@ -112,6 +112,10 @@ def main():
             ms = scan_time(lambda x: x - 1e-9 * g(x), x0)
         elif v == "lossonly":
             ms = scan_time(lambda x: x - 1e-12 * loss(x), x0)
+        elif v == "unary_lossonly":
+            fu = make_fused(np.zeros((0, 2), dtype=np.int32))
+            lu = fu.loss_fn()
+            ms = scan_time(lambda x: x - 1e-12 * lu(x), x0)
         elif v == "unary":
             fu = make_fused(np.zeros((0, 2), dtype=np.int32))
             lu = fu.loss_fn()
