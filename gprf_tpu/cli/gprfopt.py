@@ -188,10 +188,6 @@ def do_run(
                     it0 = int(load_log(d)[0][-1]) + 1
                     refine_f64(d, make_fused, x_final, it0, iters=refine_iters)
             else:
-                if refine_iters > 0:
-                    raise ValueError(
-                        "--refine_iters currently applies to task=x device runs"
-                    )
                 theta0 = fused.theta0()
                 if multistart > 1:
                     from gprf_tpu.optim.device_lbfgs import (
@@ -214,7 +210,7 @@ def do_run(
                             * FusedSyntheticGPRF.COV_SCALE
                         )
                         theta0s.append(t)
-                    _, best_v, final_v = do_optimization_multistart_theta(
+                    theta_final, best_v, final_v = do_optimization_multistart_theta(
                         d, fused, np.stack(theta0s), maxsec=maxsec,
                         max_iters=max_iters,
                     )
@@ -223,7 +219,18 @@ def do_run(
                         % (int(np.argmin(final_v)), multistart, final_v)
                     )
                 else:
-                    do_optimization_fused_theta(d, fused, theta0, maxsec=maxsec, max_iters=max_iters)
+                    theta_final = do_optimization_fused_theta(
+                        d, fused, theta0, maxsec=maxsec, max_iters=max_iters
+                    )
+                if refine_iters > 0:
+                    # f64 tail for the theta tasks too (the packed vector
+                    # carries X and/or log-scale cov params; unpack-based
+                    # checkpointing in refine_f64 handles both)
+                    from gprf_tpu.optim.device_lbfgs import refine_f64
+                    from gprf_tpu.optim.driver import load_log
+
+                    it0 = int(load_log(d)[0][-1]) + 1
+                    refine_f64(d, make_fused, theta_final, it0, iters=refine_iters)
         elif gplvm_type != "gprf":
             from gprf_tpu.model.sgplvm import do_sgplvm
 

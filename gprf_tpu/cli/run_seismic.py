@@ -124,6 +124,7 @@ def build_parser():
     parser.add_argument("--data_dir", dest="data_dir", default=".", type=str, help="directory holding sorted_isc.npy / cached Y")
     parser.add_argument("--engine", dest="engine", default="host", choices=["host", "device"], help="host: scipy L-BFGS-B per-eval dispatch (reference semantics); device: fully on-device scan-L-BFGS loop")
     parser.add_argument("--multistart", dest="multistart", default=1, type=int, help="device engine: optimize this many on-chip replicas and keep the best final objective")
+    parser.add_argument("--refine_iters", dest="refine_iters", default=0, type=int, help="device engine: continue this many float64 refinement iterations from the f32 solution")
     return parser
 
 
@@ -207,10 +208,14 @@ def main(argv=None):
             X2 = means[:, :2].copy()
             X2[:, 0] = wrap_lon(X2[:, 0])
             tree = PDTree(X2, minsize=args.rpc_blocksize)
-            fused = FusedSeismicGPRF(
-                means, SY, tree, gprf.neighbors, means, prior_std, cov, nv,
-                task=args.task,
-            )
+
+            def make_fused(dtype=None):
+                return FusedSeismicGPRF(
+                    means, SY, tree, gprf.neighbors, means, prior_std, cov,
+                    nv, task=args.task, dtype=dtype,
+                )
+
+            fused = make_fused()
             theta0 = fused.theta0(X0 if X0 is not None else means, C0)
             if args.multistart > 1:
                 from gprf_tpu.optim.device_lbfgs import (
@@ -231,7 +236,7 @@ def main(argv=None):
                         if ncov > 0:
                             t[len(t) - ncov:] += ms_rng.standard_normal(ncov) * 0.3
                     theta0s.append(t)
-                _, best_v, final_v = do_optimization_multistart_theta(
+                theta_final, best_v, final_v = do_optimization_multistart_theta(
                     d, fused, np.stack(theta0s), maxsec=args.maxsec
                 )
                 print(
@@ -239,7 +244,17 @@ def main(argv=None):
                     % (int(np.argmin(final_v)), args.multistart, final_v)
                 )
             else:
-                do_optimization_fused_theta(d, fused, theta0, maxsec=args.maxsec)
+                theta_final = do_optimization_fused_theta(
+                    d, fused, theta0, maxsec=args.maxsec
+                )
+            if args.refine_iters > 0:
+                from gprf_tpu.optim.device_lbfgs import refine_f64
+                from gprf_tpu.optim.driver import load_log
+
+                it0 = int(load_log(d)[0][-1]) + 1
+                refine_f64(
+                    d, make_fused, theta_final, it0, iters=args.refine_iters
+                )
         else:
             do_optimization_seismic(
                 d,

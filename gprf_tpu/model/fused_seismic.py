@@ -52,14 +52,18 @@ class FusedSeismicGPRF:
         pair_chunk: int | None = None,
         use_pallas: bool | None = None,
         mesh=None,
+        dtype=None,
     ):
         assert task in ("x", "cov", "xcov")
         self.task = task
         self.mesh = mesh
+        if dtype is None:
+            dtype = jnp.float32
         if use_pallas is None:
-            use_pallas = jax.default_backend() == "tpu"
+            # the lanes kernels are f32; the f64 refinement tail rides XLA
+            use_pallas = jax.default_backend() == "tpu" and dtype == jnp.float32
         self.use_pallas = use_pallas
-        self.dtype = jnp.float32
+        self.dtype = dtype
         self.Y = jnp.asarray(Y, dtype=self.dtype)
         self.flat = FlatPDTree(tree)
         self.tree_arrays = self.flat.device_arrays(self.dtype)

@@ -56,6 +56,15 @@ _UNARY_DOUBLING = os.environ.get("GPRF_UNARY_DOUBLING", "0") == "1"
 # running fresh processes (the jit cache is not keyed on env vars).
 _WIDE_LANES = os.environ.get("GPRF_WIDE_LANES", "0") == "1"
 
+# Schur-form matmul precision (read ONCE at import, like every toggle: the
+# jit cache is not keyed on env vars, so a mid-process flip must not be able
+# to silently produce stale-compiled mixtures — A/B in fresh processes).
+# HIGHEST = 6 bf16 passes per f32 matmul on TPU; "high" (3 passes) is a
+# measurable knob: the Schur algebra tolerates ~2^-21 product error (the
+# noise-variance jitter dominates it), and the distance computations keep
+# their own HIGHEST internally regardless.
+_SCHUR_PRECISION = os.environ.get("GPRF_SCHUR_PRECISION", "highest")
+
 
 class GPRFParams(NamedTuple):
     """Differentiable parameters of the objective."""
@@ -212,23 +221,17 @@ def _schur_ll(
     # improvements and floors convergence
     acc = jnp.float64 if jax.config.jax_enable_x64 else dtype
 
-    # "highest" = 6 bf16 passes per f32 matmul on TPU.  GPRF_SCHUR_PRECISION
-    # =high (3 passes) is a measurable experiment knob: the Schur algebra
-    # tolerates ~2^-21 product error (nv jitter >> that), but the explicit
-    # distance computations keep their own HIGHEST internally regardless.
-    with jax.default_matmul_precision(
-        os.environ.get("GPRF_SCHUR_PRECISION", "highest")
-    ):
+    with jax.default_matmul_precision(_SCHUR_PRECISION):
         # ---- unary pass: batched masked Cholesky + per-block ll pieces
         Xb = X[assignment]  # [B, m, dx]
         maskf = mask.astype(dtype)
         Kb = jax.vmap(lambda x: cross_kernel_matrix(cov, x, x))(Xb)
         Kb = Kb + noise_var * eye
         Kp = jax.vmap(pad_kernel_matrix)(Kb, mask)
-        from gprf_tpu.ops.pallas_mvn import pallas_supported
+        from gprf_tpu.ops.split_mvn import split_supported
 
         Ym = Y[assignment] * maskf[:, :, None]
-        inv_factor = use_pallas and pallas_supported(m)
+        inv_factor = use_pallas and split_supported(m)
         if inv_factor:
             # inverse-factor formulation: one batch-in-lanes triangular
             # inverse per factor batch turns every subsequent "solve" into
@@ -248,9 +251,13 @@ def _schur_ll(
                 Ls = batched_cholesky_pallas(Kp)
                 Ws = batched_tri_inv_doubling(Ls)
             else:
-                from gprf_tpu.ops.pallas_mvn import batched_chol_inv_pallas
+                # beyond the single-kernel VMEM cap (144 < m <= 512, e.g.
+                # the seismic m=192 partition) the call recursively 2x2-
+                # splits into lanes leaves glued by MXU matmuls; at or
+                # below the cap it IS the single fused kernel
+                from gprf_tpu.ops.split_mvn import chol_inv_split
 
-                Ls, Ws = batched_chol_inv_pallas(Kp)
+                Ls, Ws = chol_inv_split(Kp)
             Zs = jnp.einsum("bij,bjd->bid", Ws, Ym)
         else:
             Ls = chol(Kp)
@@ -268,8 +275,9 @@ def _schur_ll(
             return total
 
         # ---- pair pass: Schur complement against the i-side factors
-        # the fused-MVN kernel is VMEM-bounded; larger blocks use XLA
-        pair_pallas = use_pallas and pallas_supported(m, for_mvn=True)
+        # the fused-MVN kernel is VMEM-bounded; 144 < m <= 512 goes through
+        # the 2x2-split composition, larger blocks use XLA
+        pair_pallas = use_pallas and split_supported(m, for_mvn=True)
 
         def pair_batch(edges_c, pw_c):
             ei = edges_c[:, 0]
@@ -289,10 +297,11 @@ def _schur_ll(
             nbj = jnp.sum(maskf[ej], axis=1)
             if pair_pallas and not _PAIR_CHOLINV:
                 # ll_pair = (i-side unary pieces) + MVN(S, rhs): the fused
-                # batch-in-lanes kernel computes chol+solve+reductions in one
-                from gprf_tpu.ops.pallas_mvn import batched_mvn_ll_pallas
+                # batch-in-lanes kernel computes chol+solve+reductions in
+                # one (2x2-split into lanes leaves when m exceeds its cap)
+                from gprf_tpu.ops.split_mvn import mvn_ll_split
 
-                mvn_s = batched_mvn_ll_pallas(S, rhs, nbj)
+                mvn_s = mvn_ll_split(S, rhs, nbj)
                 pair_ll = unary_ll[ei] + mvn_s.astype(acc)
             elif pair_pallas:
                 # variant under measurement (GPRF_PAIR_CHOLINV=1): factor S

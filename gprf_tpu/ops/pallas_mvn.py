@@ -50,7 +50,12 @@ def _tri_inv_for_vjp(L, interpret: bool):
         from gprf_tpu.linalg.doubling import batched_tri_inv_doubling
 
         return batched_tri_inv_doubling(L)
-    return batched_tri_inv_pallas(L, interpret)
+    # routes through the block-2x2 split composition (lanes leaves + MXU
+    # coupling, gprf_tpu.ops.split_mvn); identical to the plain lanes
+    # kernel at m <= the leaf cap, and A/B-able via GPRF_SPLIT_LEAF
+    from gprf_tpu.ops.split_mvn import tri_inv_split
+
+    return tri_inv_split(L, interpret)
 
 
 def _vmappable(core):
@@ -73,7 +78,11 @@ def _vmappable(core):
             if not b:
                 a = jnp.broadcast_to(a[None], (axis_size,) + a.shape)
             folded.append(a.reshape((-1,) + a.shape[2:]))
-        out = core(*folded)
+        # recurse through the wrapped cv (not the raw core) so a second
+        # stacked vmap level folds again instead of hitting pallas_call's
+        # default batching rule, which the TPU lowering rejects for
+        # ANY-memory-space kernels
+        out = cv(*folded)
 
         def unfold(o):
             return o.reshape((axis_size, -1) + o.shape[1:])

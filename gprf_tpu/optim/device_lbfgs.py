@@ -282,8 +282,13 @@ def _run_multistart(d, fused, theta0s, dtype, unpack_fn, write_covs,
                 covf.write("%d %s\n" % (step_idx, FC))
                 covf.flush()
             it += steps_per_dispatch
-            # per-replica progress: only stop when no replica improves
-            best_per = np.minimum(prev_best, vals.min(axis=1))
+            # per-replica progress: only stop when no replica improves.
+            # A diverged replica's vals column is NaN for the dispatch in
+            # which it blew up; mask to +inf so the NaN can't poison
+            # prev_best permanently (the replica was sanitized+restarted
+            # above and must be able to register improvement again)
+            vals_f = np.where(np.isfinite(vals), vals, np.inf)
+            best_per = np.minimum(prev_best, vals_f.min(axis=1))
             improved = prev_best - best_per >= ftol * (np.abs(prev_best) + 1e-12)
             if not improved.any():
                 stall += 1
@@ -567,6 +572,12 @@ def refine_f64(d, make_fused, x32, it0, iters: int = 60,
     few dozen refinement iterations are needed.  ``make_fused(dtype)``
     builds the fused evaluator at the requested dtype; checkpoints/log rows
     continue the main run's numbering from ``it0``.
+
+    Works for every device task: ``x32`` is the flat optimization vector
+    (bare X for task=x, the packed theta for cov/xcov/seismic) and
+    checkpointing goes through ``fused.unpack_host`` so cov checkpoints and
+    ``covs.txt`` rows continue for theta tasks (reference task dispatch:
+    ``gprfopt.py:548-574``).
     """
     import jax
 
@@ -585,6 +596,7 @@ def refine_f64(d, make_fused, x32, it0, iters: int = 60,
     init_fn, run_fn = make_scan_lbfgs_runner(fused.loss_fn(), steps_per_dispatch)
     carry = init_fn(jnp.asarray(np.asarray(x32, dtype=np.float64)))
     f_log = open(os.path.join(d, "log.txt"), "a")
+    covf = open(os.path.join(d, "covs.txt"), "a")
     t0 = time.time()
     it = it0
     prev_best = np.inf
@@ -594,8 +606,12 @@ def refine_f64(d, make_fused, x32, it0, iters: int = 60,
             carry, (values, accepted, gnorms) = run_fn(carry)
             values = -np.asarray(values)
             x_host = np.asarray(carry["x"])
-            save_step(d, it + steps_per_dispatch - 1,
-                      X=x_host.reshape(fused.shape))
+            step_idx = it + steps_per_dispatch - 1
+            X, FC = fused.unpack_host(x_host)
+            save_step(d, step_idx, X=X, FC=FC)
+            if FC is not None:
+                covf.write("%d %s\n" % (step_idx, FC))
+                covf.flush()
             now = time.time() - t0
             for k, v in enumerate(values):
                 f_log.write("%d %.2f %.2f\n" % (it + k, now, float(v)))
@@ -612,4 +628,5 @@ def refine_f64(d, make_fused, x32, it0, iters: int = 60,
     finally:
         f_log.write("f64 refinement finished after %.fs\n" % (time.time() - t0))
         f_log.close()
+        covf.close()
     return np.asarray(carry["x"])

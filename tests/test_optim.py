@@ -177,3 +177,30 @@ def test_do_run_device_engine_with_f64_refinement(tmp_path, monkeypatch):
     # refinement appended rows and did not regress the objective
     assert lls[-1] >= lls[0]
     assert os.path.exists(os.path.join(d, "results.txt"))
+
+
+def test_do_run_device_engine_xcov_with_f64_refinement(tmp_path, monkeypatch):
+    """--refine_iters on a theta-packed task (VERDICT round 2 #8): the f64
+    tail must continue the run, write cov checkpoints through unpack_host,
+    and not regress the objective."""
+    monkeypatch.setenv("GPRF_EXPERIMENTS", str(tmp_path / "exp"))
+    d = str(tmp_path / "run_refine_xcov")
+    os.makedirs(d)
+    do_run(
+        d, lscale=0.3, n=60, ntrain=45, nblocks=4, yd=4, seed=1,
+        local_dist=0.01, maxsec=30, task="xcov", obs_std=0.03,
+        engine="device", refine_iters=10,
+    )
+    from gprf_tpu.optim.driver import load_log
+
+    steps, times, lls = load_log(d)
+    assert len(steps) >= 10
+    assert lls[-1] >= lls[0]
+    import numpy as _np
+
+    covs = sorted(
+        f for f in os.listdir(d) if f.startswith("step") and f.endswith("_cov.npy")
+    )
+    assert covs
+    FC = _np.load(os.path.join(d, covs[-1]))
+    assert FC.shape == (1, 4) and _np.all(_np.isfinite(FC))
