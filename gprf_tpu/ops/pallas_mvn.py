@@ -66,7 +66,16 @@ def _vmappable(core):
     kernel here is batch-oblivious in its leading lane-tile dim, so an
     outer vmap (e.g. the multi-start optimizer, ``optim.device_lbfgs.
     make_multistart_runner``) can simply fold its batch axis into dim 0,
-    run the kernel over R*nb tiles, and unfold."""
+    run the kernel over R*nb tiles, and unfold.
+
+    Applied at two levels: around each raw tiled core (safety net), and —
+    the level that matters for performance — around each whole padded
+    pipeline (pad + tile + kernel + untile), so an R-replica vmap folds
+    [R, B, ...] -> [R*B, ...] BEFORE lane-tiling and the replicas pack
+    into shared 128-wide tiles instead of each padding its part-filled
+    last tile up to a full one (R=4 at the flagship edge batch: 6 tiles
+    instead of 8).  The rule recurses through the wrapped function so
+    stacked vmap levels fold repeatedly."""
     from jax import custom_batching
 
     cv = custom_batching.custom_vmap(core)
@@ -157,27 +166,37 @@ def _chol_kernel(k_hbm, lt_hbm):
     )
 
 
+@functools.lru_cache(maxsize=None)
+def _chol_pipeline(interpret: bool):
+    def impl(K):
+        B, m, _ = K.shape
+        T = _tile_for(m)
+        if T is None:
+            return jnp.linalg.cholesky(K)  # VMEM-bound: fall back to XLA
+        nb = (B + T - 1) // T
+        padB = nb * T
+        Kp = jnp.concatenate(
+            [K, jnp.broadcast_to(jnp.eye(m, dtype=K.dtype), (padB - B, m, m))],
+            axis=0,
+        )
+        Kl = jnp.transpose(Kp.reshape(nb, T, m, m), (0, 2, 3, 1))
+
+        lt = _chol_core(interpret)(Kl)
+        Lt = jnp.transpose(lt, (0, 3, 1, 2)).reshape(padB, m, m)[:B]
+        return jnp.transpose(Lt, (0, 2, 1))
+
+    return _vmappable(impl)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
 def batched_cholesky_pallas(K, interpret: bool = False):
     """Lower Cholesky factors of a batch of SPD matrices [B, m, m].
 
     Returns L with L @ L.T == K (zero above the diagonal).  The batch is
-    tiled into the 128-wide lane dimension; B pads up to the tile.
+    tiled into the 128-wide lane dimension; B pads up to the tile (outer
+    vmap axes fold into B before padding — see :func:`_vmappable`).
     """
-    B, m, _ = K.shape
-    T = _tile_for(m)
-    if T is None:
-        return jnp.linalg.cholesky(K)  # VMEM-bound: fall back to XLA
-    nb = (B + T - 1) // T
-    padB = nb * T
-    Kp = jnp.concatenate(
-        [K, jnp.broadcast_to(jnp.eye(m, dtype=K.dtype), (padB - B, m, m))], axis=0
-    )
-    Kl = jnp.transpose(Kp.reshape(nb, T, m, m), (0, 2, 3, 1))
-
-    lt = _chol_core(interpret)(Kl)
-    Lt = jnp.transpose(lt, (0, 3, 1, 2)).reshape(padB, m, m)[:B]
-    return jnp.transpose(Lt, (0, 2, 1))
+    return _chol_pipeline(interpret)(K)
 
 
 @functools.lru_cache(maxsize=None)
@@ -299,6 +318,38 @@ def _tri_inv_cols(m: int, T: int = _LANES,
     return max(8, min(64, int(c) // 8 * 8))
 
 
+@functools.lru_cache(maxsize=None)
+def _tri_inv_pipeline(interpret: bool):
+    def impl(L):
+        B, m, _ = L.shape
+        T = _tile_for(m)
+        if T is None:
+            eye = jnp.broadcast_to(jnp.eye(m, dtype=L.dtype), L.shape)
+            return jax.lax.linalg.triangular_solve(
+                L, eye, left_side=True, lower=True, transpose_a=False
+            )
+        nb = (B + T - 1) // T
+        padB = nb * T
+        Lp = jnp.concatenate(
+            [L, jnp.broadcast_to(jnp.eye(m, dtype=L.dtype), (padB - B, m, m))],
+            axis=0,
+        )
+        Ll = jnp.transpose(Lp.reshape(nb, T, m, m), (0, 2, 3, 1))
+
+        cols = _tri_inv_cols(m, T)
+        ncp = (m + cols - 1) // cols
+        w = _tri_inv_core(interpret)(Ll)
+        # buffer-assignment guard: without the barrier XLA stack-allocates
+        # this output in VMEM next to the kernel's own scratch (fusing it
+        # into the consumer) and blows the 16 MB scoped budget at m ~ 136
+        w = jax.lax.optimization_barrier(w)
+        # panel-major -> [padB, m, ncp*cols], crop the column padding
+        w = jnp.transpose(w, (0, 4, 2, 1, 3)).reshape(padB, m, ncp * cols)
+        return w[:B, :, :m]
+
+    return _vmappable(impl)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
 def batched_tri_inv_pallas(L, interpret: bool = False):
     """W = L^-1 for a batch of lower-triangular matrices [B, m, m].
@@ -306,30 +357,7 @@ def batched_tri_inv_pallas(L, interpret: bool = False):
     Batch in the 128-wide lane dimension, like
     :func:`batched_cholesky_pallas`; m beyond the VMEM budget falls back to
     an XLA triangular solve against the identity."""
-    B, m, _ = L.shape
-    T = _tile_for(m)
-    if T is None:
-        eye = jnp.broadcast_to(jnp.eye(m, dtype=L.dtype), L.shape)
-        return jax.lax.linalg.triangular_solve(
-            L, eye, left_side=True, lower=True, transpose_a=False
-        )
-    nb = (B + T - 1) // T
-    padB = nb * T
-    Lp = jnp.concatenate(
-        [L, jnp.broadcast_to(jnp.eye(m, dtype=L.dtype), (padB - B, m, m))], axis=0
-    )
-    Ll = jnp.transpose(Lp.reshape(nb, T, m, m), (0, 2, 3, 1))
-
-    cols = _tri_inv_cols(m, T)
-    ncp = (m + cols - 1) // cols
-    w = _tri_inv_core(interpret)(Ll)
-    # buffer-assignment guard: without the barrier XLA stack-allocates this
-    # output in VMEM next to the kernel's own scratch (fusing it into the
-    # consumer) and blows the 16 MB scoped budget at m ~ 136
-    w = jax.lax.optimization_barrier(w)
-    # panel-major -> [padB, m, ncp*cols], crop the column padding
-    w = jnp.transpose(w, (0, 4, 2, 1, 3)).reshape(padB, m, ncp * cols)
-    return w[:B, :, :m]
+    return _tri_inv_pipeline(interpret)(L)
 
 
 @functools.lru_cache(maxsize=None)
@@ -445,6 +473,40 @@ def _chol_inv_kernel(k_hbm, lt_hbm, w_hbm, *, cols: int):
     )
 
 
+@functools.lru_cache(maxsize=None)
+def _chol_inv_pipeline(interpret: bool):
+    def impl(K):
+        B, m, _ = K.shape
+        T = _tile_for(m)
+        if T is None:
+            L = jnp.linalg.cholesky(K)
+            eye = jnp.broadcast_to(jnp.eye(m, dtype=K.dtype), K.shape)
+            W = jax.lax.linalg.triangular_solve(
+                L, eye, left_side=True, lower=True, transpose_a=False
+            )
+            return L, W
+        nb = (B + T - 1) // T
+        padB = nb * T
+        Kp = jnp.concatenate(
+            [K, jnp.broadcast_to(jnp.eye(m, dtype=K.dtype), (padB - B, m, m))],
+            axis=0,
+        )
+        Kl = jnp.transpose(Kp.reshape(nb, T, m, m), (0, 2, 3, 1))
+
+        cols = _tri_inv_cols(m, T)
+        ncp = (m + cols - 1) // cols
+        lt, w = _chol_inv_core(interpret)(Kl)
+        # see batched_tri_inv_pallas: keep XLA from stack-allocating these
+        # in VMEM next to the kernel's own scratch
+        lt, w = jax.lax.optimization_barrier((lt, w))
+        Lt = jnp.transpose(lt, (0, 3, 1, 2)).reshape(padB, m, m)[:B]
+        L = jnp.transpose(Lt, (0, 2, 1))
+        W = jnp.transpose(w, (0, 4, 2, 1, 3)).reshape(padB, m, ncp * cols)
+        return L, W[:B, :, :m]
+
+    return _vmappable(impl)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
 def batched_chol_inv_pallas(K, interpret: bool = False):
     """(L, W) with L = chol(K) (lower) and W = L^-1, for SPD [B, m, m].
@@ -454,32 +516,7 @@ def batched_chol_inv_pallas(K, interpret: bool = False):
     — no triangular solves and no Pallas invocations in the backward.
     Falls back to XLA cholesky + triangular_solve beyond the VMEM cap
     (the VJP formula is layout-agnostic)."""
-    B, m, _ = K.shape
-    T = _tile_for(m)
-    if T is None:
-        L = jnp.linalg.cholesky(K)
-        eye = jnp.broadcast_to(jnp.eye(m, dtype=K.dtype), K.shape)
-        W = jax.lax.linalg.triangular_solve(
-            L, eye, left_side=True, lower=True, transpose_a=False
-        )
-        return L, W
-    nb = (B + T - 1) // T
-    padB = nb * T
-    Kp = jnp.concatenate(
-        [K, jnp.broadcast_to(jnp.eye(m, dtype=K.dtype), (padB - B, m, m))], axis=0
-    )
-    Kl = jnp.transpose(Kp.reshape(nb, T, m, m), (0, 2, 3, 1))
-
-    cols = _tri_inv_cols(m, T)
-    ncp = (m + cols - 1) // cols
-    lt, w = _chol_inv_core(interpret)(Kl)
-    # see batched_tri_inv_pallas: keep XLA from stack-allocating these in
-    # VMEM next to the kernel's own scratch
-    lt, w = jax.lax.optimization_barrier((lt, w))
-    Lt = jnp.transpose(lt, (0, 3, 1, 2)).reshape(padB, m, m)[:B]
-    L = jnp.transpose(Lt, (0, 2, 1))
-    W = jnp.transpose(w, (0, 4, 2, 1, 3)).reshape(padB, m, ncp * cols)
-    return L, W[:B, :, :m]
+    return _chol_inv_pipeline(interpret)(K)
 
 
 @functools.lru_cache(maxsize=None)
@@ -604,29 +641,40 @@ def _mvn_kernel(k_hbm, y_hbm, nact_hbm, ll_hbm, lt_hbm):
     )
 
 
-def _mvn_forward(Kp, Ym, n_active, interpret=False):
-    """(ll [B], lt [nb, m, m, T]) via the Pallas kernel.  Kp must be
-    padded-masked (identity rows/cols outside the mask), Ym zeroed
-    outside."""
-    B, m, _ = Kp.shape
-    dy = Ym.shape[2]
-    T = _tile_for(m, for_mvn=True)
-    assert T is not None, f"MVN kernel unsupported at m={m}"
-    nb = (B + T - 1) // T
-    padB = nb * T
-    Kx = jnp.concatenate(
-        [Kp, jnp.broadcast_to(jnp.eye(m, dtype=Kp.dtype), (padB - B, m, m))], axis=0
-    )
-    Yx = jnp.concatenate([Ym, jnp.zeros((padB - B, m, dy), Ym.dtype)], axis=0)
-    nx = jnp.concatenate(
-        [n_active.astype(Kp.dtype), jnp.zeros((padB - B,), Kp.dtype)]
-    )
-    Kl = jnp.transpose(Kx.reshape(nb, T, m, m), (0, 2, 3, 1))
-    Yl = jnp.transpose(Yx.reshape(nb, T, m, dy), (0, 2, 3, 1))
-    nl = nx.reshape(nb, 1, T)
+@functools.lru_cache(maxsize=None)
+def _mvn_pipeline(interpret: bool):
+    def impl(Kp, Ym, n_active):
+        B, m, _ = Kp.shape
+        dy = Ym.shape[2]
+        T = _tile_for(m, for_mvn=True)
+        assert T is not None, f"MVN kernel unsupported at m={m}"
+        nb = (B + T - 1) // T
+        padB = nb * T
+        Kx = jnp.concatenate(
+            [Kp, jnp.broadcast_to(jnp.eye(m, dtype=Kp.dtype), (padB - B, m, m))],
+            axis=0,
+        )
+        Yx = jnp.concatenate([Ym, jnp.zeros((padB - B, m, dy), Ym.dtype)], axis=0)
+        nx = jnp.concatenate(
+            [n_active.astype(Kp.dtype), jnp.zeros((padB - B,), Kp.dtype)]
+        )
+        Kl = jnp.transpose(Kx.reshape(nb, T, m, m), (0, 2, 3, 1))
+        Yl = jnp.transpose(Yx.reshape(nb, T, m, dy), (0, 2, 3, 1))
+        nl = nx.reshape(nb, 1, T)
 
-    ll, lt = _mvn_core(interpret)(Kl, Yl, nl)
-    return ll.reshape(padB)[:B], lt
+        ll, lt = _mvn_core(interpret)(Kl, Yl, nl)
+        Lt = jnp.transpose(lt, (0, 3, 1, 2)).reshape(padB, m, m)[:B]
+        return ll.reshape(padB)[:B], jnp.transpose(Lt, (0, 2, 1))
+
+    return _vmappable(impl)
+
+
+def _mvn_forward(Kp, Ym, n_active, interpret=False):
+    """(ll [B], L [B, m, m]) via the Pallas kernel.  Kp must be
+    padded-masked (identity rows/cols outside the mask), Ym zeroed
+    outside.  The untile happens inside the folded pipeline so that outer
+    vmap axes pack into shared lane tiles (see :func:`_vmappable`)."""
+    return _mvn_pipeline(interpret)(Kp, Ym, n_active)
 
 
 @functools.lru_cache(maxsize=None)
@@ -665,11 +713,7 @@ def batched_mvn_ll_pallas(Kp, Ym, n_active, interpret=False):
 
 
 def _mvn_fwd(Kp, Ym, n_active, interpret):
-    ll, lt = _mvn_forward(Kp, Ym, n_active, interpret=interpret)
-    B, m, _ = Kp.shape
-    padB = lt.shape[0] * lt.shape[-1]
-    Lt = jnp.transpose(lt, (0, 3, 1, 2)).reshape(padB, m, m)[:B]
-    L = jnp.transpose(Lt, (0, 2, 1))
+    ll, L = _mvn_forward(Kp, Ym, n_active, interpret=interpret)
     return ll, (L, Ym)
 
 

@@ -43,18 +43,22 @@ import jax.numpy as jnp
 from gprf_tpu.ops import pallas_mvn as _pm
 from gprf_tpu.ops.pallas_mvn import MAX_M_CHOL, MAX_M_MVN
 
-# leaf-width caps: default to the kernels' VMEM caps (split engages only
-# beyond them); lower via env to force splitting at smaller m for A/B
-# measurement (e.g. GPRF_SPLIT_LEAF=96 makes the flagship m=136 split into
-# 72/64 leaves).  Read once at import like every measurement toggle here —
-# A/B in fresh processes (the jit cache is not keyed on env vars).
+# leaf-width caps.  Default 96, from the round-3 v5e A/B sweep (in-scan
+# ablation, docs/RESULTS.md): at the flagship m=136 the 72/64 split beats
+# the single-kernel path 4.28 vs 4.62 ms/eval (leaf 64 reached 4.11 but
+# REGRESSED the seismic m=192 step 8.6 -> 16.6 via its deeper backward
+# einsum chains — 96 wins on both workloads).  Override via env for A/B;
+# read once at import like every measurement toggle here — A/B in fresh
+# processes (the jit cache is not keyed on env vars).
 def _env_leaf(name: str, default: int) -> int:
     v = os.environ.get(name, "")
     return int(v) if v else default
 
 
-LEAF_CHOL = _env_leaf("GPRF_SPLIT_LEAF_CHOL", _env_leaf("GPRF_SPLIT_LEAF", MAX_M_CHOL))
-LEAF_MVN = _env_leaf("GPRF_SPLIT_LEAF_MVN", _env_leaf("GPRF_SPLIT_LEAF", MAX_M_MVN))
+LEAF_CHOL = min(_env_leaf("GPRF_SPLIT_LEAF_CHOL", _env_leaf("GPRF_SPLIT_LEAF", 96)),
+                MAX_M_CHOL)
+LEAF_MVN = min(_env_leaf("GPRF_SPLIT_LEAF_MVN", _env_leaf("GPRF_SPLIT_LEAF", 96)),
+               MAX_M_MVN)
 # widest m the split path accepts (beyond it the XLA blocked-panel path is
 # the measured winner at the 80k shapes, docs/RESULTS.md)
 SPLIT_MAX_M = _env_leaf("GPRF_SPLIT_MAX_M", 512)
