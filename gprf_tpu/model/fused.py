@@ -329,6 +329,29 @@ class FusedSyntheticGPRF:
     def grow_capacity(self):
         self.m += 16
 
+    def overflow_fn(self):
+        """theta -> bool: does any block outgrow the padded slot count m at
+        this point?  Composable into the optimizer's device program (the
+        scan runner's ``aux_fn``) so capacity checks cost no host round
+        trip; matches :meth:`check_capacity` exactly."""
+        assign = self._assign_device
+        B, m = self.n_blocks, self.m
+        nflat = int(np.prod(self.shape))
+        shape = self.shape
+        task = self.task
+        X_fixed = jnp.asarray(self.X0, dtype=self.dtype)
+
+        def f(theta):
+            if task in ("x", "xcov"):
+                X = theta[:nflat].reshape(shape)
+            else:
+                X = X_fixed
+            blocks = assign(jax.lax.stop_gradient(X))
+            counts = jnp.bincount(blocks, length=B)
+            return jnp.max(counts) > m
+
+        return f
+
     # ---- the fused loss ----------------------------------------------------
 
     def loss_fn(self):

@@ -160,6 +160,35 @@ class FusedSeismicGPRF:
     def grow_capacity(self):
         self.m += 16
 
+    def overflow_fn(self):
+        """theta -> bool overflow flag at this point (see
+        :meth:`gprf_tpu.model.fused.FusedSyntheticGPRF.overflow_fn`)."""
+        from gprf_tpu.partition.pdtree_device import assign_blocks_pdtree
+
+        tree_arrays, depth = self.tree_arrays, self.depth
+        B, m = self.n_blocks, self.m
+        n = int(np.prod(self.shape))
+        shape = self.shape
+        task = self.task
+        dtype = self.dtype
+        depth_scale = self.depth_scale
+        prior_means = self.prior_means
+
+        def f(theta):
+            if task in ("x", "xcov"):
+                Xs = theta[:n].reshape(shape)
+                X = Xs * jnp.asarray([1.0, 1.0, depth_scale], dtype=dtype)
+            else:
+                X = prior_means
+            Xw = jax.lax.stop_gradient(X)
+            lon_wrapped = (Xw[:, 0] + 22.0) % 360.0 - 22.0
+            X2 = jnp.stack([lon_wrapped, Xw[:, 1]], axis=1)
+            blocks = assign_blocks_pdtree(X2, tree_arrays, depth)
+            counts = jnp.bincount(blocks, length=B)
+            return jnp.max(counts) > m
+
+        return f
+
     # ---- the fused loss ---------------------------------------------------
 
     def loss_fn(self):

@@ -30,7 +30,7 @@ from gprf_tpu.utils.io import save_step
 
 def make_scan_lbfgs_runner(loss_fn, num_steps: int, memory_size: int = 10,
                            c1: float = 1e-4, eta_shrink: float = 0.5,
-                           eta_grow: float = 1.2):
+                           eta_grow: float = 1.2, aux_fn=None):
     """Scan-only L-BFGS: exactly one loss+grad evaluation per iteration.
 
     Classic zoom line searches are ``lax.while_loop``s whose bodies re-run
@@ -47,6 +47,12 @@ def make_scan_lbfgs_runner(loss_fn, num_steps: int, memory_size: int = 10,
     Returns (init_fn, run_fn); run_fn(carry) -> (carry, (value, accepted,
     gnorm)) advances num_steps iterations in one dispatch.  Counted
     objective evaluations == iterations, the same unit the reference logs.
+
+    ``aux_fn`` (optional): evaluated on the final evaluated point
+    (carry["x_prev"]) inside the same device program and appended to the
+    per-dispatch outputs — used to surface the fused loss's capacity
+    overflow flag without a separate host round trip (~30 ms each through
+    the tunneled runtime).
     """
 
     value_and_grad = jax.value_and_grad(loss_fn)
@@ -154,6 +160,10 @@ def make_scan_lbfgs_runner(loss_fn, num_steps: int, memory_size: int = 10,
             return out, (v_eff, ok, gn)
 
         carry, traj = jax.lax.scan(step, carry, None, length=num_steps)
+        if aux_fn is not None:
+            # check the last evaluated point AND the pending proposal (the
+            # first point the next dispatch will evaluate)
+            return carry, traj + (aux_fn(carry["x_prev"]) | aux_fn(carry["x"]),)
         return carry, traj
 
     return init_fn, run_fn
@@ -241,7 +251,11 @@ def _run_multistart(d, fused, theta0s, dtype, unpack_fn, write_covs,
     is carry["v"]) — carry["x"] is the next, never-evaluated proposal."""
     theta0s = np.asarray(theta0s, dtype=np.float64)
     R = theta0s.shape[0]
-    init_fn, run_fn = make_multistart_runner(fused.loss_fn(), steps_per_dispatch)
+    make_aux = getattr(fused, "overflow_fn", None)
+    aux_fn = make_aux() if make_aux is not None else None
+    init_fn, run_fn = make_multistart_runner(
+        fused.loss_fn(), steps_per_dispatch, aux_fn=aux_fn
+    )
     carry = init_fn(jnp.asarray(theta0s, dtype=dtype))
     f_log = open(os.path.join(d, "log.txt"), "w")
     f_ms = open(os.path.join(d, "multistart.txt"), "w")
@@ -252,18 +266,35 @@ def _run_multistart(d, fused, theta0s, dtype, unpack_fn, write_covs,
     stall = 0
     try:
         while it < max_iters and time.time() - t0 < maxsec:
-            carry, (values, accepted, gnorms) = run_fn(carry)
+            carry, outs = run_fn(carry)
+            values = outs[0]
             vals = np.asarray(values)  # [R, steps] nll
             carry, n_restarted = _sanitize_replicas(carry)
             if n_restarted:
                 print("multistart: restarted %d diverged replica(s)" % n_restarted)
             thetas = np.asarray(carry["x_prev"], dtype=np.float64)
-            if not _check_capacity_all(fused, thetas):
+            # capacity: the in-program overflow flag (aux_fn) replaces the
+            # per-dispatch host round trip when the evaluator provides it
+            overflowed = (
+                bool(np.asarray(outs[3]).any())
+                if aux_fn is not None
+                else not _check_capacity_all(fused, thetas)
+            )
+            if overflowed:
                 fused.grow_capacity()
+                aux_fn = make_aux() if make_aux is not None else None
                 init_fn, run_fn = make_multistart_runner(
-                    fused.loss_fn(), steps_per_dispatch
+                    fused.loss_fn(), steps_per_dispatch, aux_fn=aux_fn
                 )
-                carry = init_fn(jnp.asarray(thetas, dtype=dtype))
+                fresh = init_fn(jnp.asarray(thetas, dtype=dtype))
+                # keep each replica's curvature memory and adapted step
+                # scale: the pairs were measured under a loss that differed
+                # only by the few dropped points, still valid curvature
+                carry = {
+                    **fresh,
+                    **{k: carry[k] for k in ("S", "Ymem", "rho", "valid",
+                                             "head", "eta")},
+                }
             now = time.time() - t0
             cur_v = np.asarray(carry["v"])
             best_r = int(np.argmin(cur_v))
@@ -434,7 +465,11 @@ def do_optimization_fused(
 
     Returns the final flat X.
     """
-    init_fn, run_fn = make_scan_lbfgs_runner(fused.loss_fn(), steps_per_dispatch)
+    make_aux = getattr(fused, "overflow_fn", None)
+    aux_fn = make_aux() if make_aux is not None else None
+    init_fn, run_fn = make_scan_lbfgs_runner(
+        fused.loss_fn(), steps_per_dispatch, aux_fn=aux_fn
+    )
 
     it = 0
     carry = None
@@ -449,21 +484,33 @@ def do_optimization_fused(
     stall = 0
     try:
         while it < max_iters and time.time() - t0 < maxsec:
-            carry, (values, accepted, gnorms) = run_fn(carry)
-            values = -np.asarray(values)  # stored as nll; log as ll below
+            carry, outs = run_fn(carry)
+            values = -np.asarray(outs[0])  # stored as nll; log as ll below
             x_host = np.asarray(carry["x"])
             if not np.all(np.isfinite(x_host)):
                 raise FloatingPointError("optimizer diverged to non-finite X")
-            if not fused.check_capacity(x_host):
+            overflowed = (
+                bool(np.asarray(outs[3]))
+                if aux_fn is not None
+                else not fused.check_capacity(x_host)
+            )
+            if overflowed:
                 # a block outgrew the padded slot count: grow, recompile the
-                # loss at the new capacity, restart the optimizer memory
-                # from the current point (membership drift is rare and slow,
-                # so this is a cold recompile, not a hot-loop cost)
+                # loss at the new capacity, and continue from the current
+                # point keeping the curvature memory (the dropped-point loss
+                # differed negligibly; membership drift is rare and slow, so
+                # this is a cold recompile, not a hot-loop cost)
                 fused.grow_capacity()
+                aux_fn = make_aux() if make_aux is not None else None
                 init_fn, run_fn = make_scan_lbfgs_runner(
-                    fused.loss_fn(), steps_per_dispatch
+                    fused.loss_fn(), steps_per_dispatch, aux_fn=aux_fn
                 )
-                carry = init_fn(jnp.asarray(x_host, dtype=fused.Y.dtype))
+                fresh = init_fn(jnp.asarray(x_host, dtype=fused.Y.dtype))
+                carry = {
+                    **fresh,
+                    **{k: carry[k] for k in ("S", "Ymem", "rho", "valid",
+                                             "head", "eta")},
+                }
             # checkpoint index = last logged row of this dispatch, so the
             # analyzer finds an X for the final step
             save_step(d, it + steps_per_dispatch - 1, X=x_host.reshape(np.asarray(X0).shape))
@@ -506,7 +553,11 @@ def do_optimization_fused_theta(
     protocol (log.txt, step X/cov checkpoints via the theta unpacking,
     covs.txt for hyperparameter trajectories, finished marker) around the
     scan-L-BFGS loop."""
-    init_fn, run_fn = make_scan_lbfgs_runner(fused.loss_fn(), steps_per_dispatch)
+    make_aux = getattr(fused, "overflow_fn", None)
+    aux_fn = make_aux() if make_aux is not None else None
+    init_fn, run_fn = make_scan_lbfgs_runner(
+        fused.loss_fn(), steps_per_dispatch, aux_fn=aux_fn
+    )
 
     it = 0
     carry = None
@@ -522,17 +573,28 @@ def do_optimization_fused_theta(
     stall = 0
     try:
         while it < max_iters and time.time() - t0 < maxsec:
-            carry, (values, accepted, gnorms) = run_fn(carry)
-            values = -np.asarray(values)
+            carry, outs = run_fn(carry)
+            values = -np.asarray(outs[0])
             theta_host = np.asarray(carry["x"], dtype=np.float64)
             if not np.all(np.isfinite(theta_host)):
                 raise FloatingPointError("optimizer diverged to non-finite state")
-            if not fused.check_capacity(theta_host):
+            overflowed = (
+                bool(np.asarray(outs[3]))
+                if aux_fn is not None
+                else not fused.check_capacity(theta_host)
+            )
+            if overflowed:
                 fused.grow_capacity()
+                aux_fn = make_aux() if make_aux is not None else None
                 init_fn, run_fn = make_scan_lbfgs_runner(
-                    fused.loss_fn(), steps_per_dispatch
+                    fused.loss_fn(), steps_per_dispatch, aux_fn=aux_fn
                 )
-                carry = init_fn(jnp.asarray(theta_host, dtype=fused.dtype))
+                fresh = init_fn(jnp.asarray(theta_host, dtype=fused.dtype))
+                carry = {
+                    **fresh,
+                    **{k: carry[k] for k in ("S", "Ymem", "rho", "valid",
+                                             "head", "eta")},
+                }
             X, FC = fused.unpack_host(theta_host)
             step_idx = it + steps_per_dispatch - 1
             save_step(d, step_idx, X=X, FC=FC)

@@ -264,3 +264,32 @@ def test_multistart_sanitize_restarts_diverged_replica(rng):
     bad["x_prev"][:] = np.nan
     with pytest.raises(FloatingPointError):
         _sanitize_replicas({k: jnp.asarray(v) for k, v in bad.items()})
+
+
+def test_scan_runner_aux_fn_surfaces_flag(rng):
+    """aux_fn output rides the dispatch outputs (used for in-program
+    capacity-overflow detection without a host round trip)."""
+    import jax.numpy as jnp
+    from gprf_tpu.optim.device_lbfgs import (
+        make_multistart_runner,
+        make_scan_lbfgs_runner,
+    )
+
+    def loss(x):
+        return jnp.sum((x - 1.0) ** 2)
+
+    def aux(x):
+        return jnp.max(x) > 0.9  # trips as the optimizer approaches 1
+
+    init_fn, run_fn = make_scan_lbfgs_runner(loss, num_steps=30, aux_fn=aux)
+    carry = init_fn(jnp.zeros(4))
+    carry, outs = run_fn(carry)
+    assert len(outs) == 4
+    assert bool(np.asarray(outs[3]))
+
+    # and through the vmapped multistart wrapper: per-replica flags
+    init_b, run_b = make_multistart_runner(loss, num_steps=30, aux_fn=aux)
+    carry_b = init_b(jnp.stack([jnp.zeros(4), jnp.full(4, -50.0)]))
+    carry_b, outs_b = run_b(carry_b)
+    flags = np.asarray(outs_b[3])
+    assert flags.shape == (2,) and flags[0]
