@@ -8,11 +8,18 @@ directly:
 
   * ``gplvm_type="sparse"``  — FITC collapsed marginal likelihood
     (Snelson & Ghahramani 2006) over ``num_inducing`` inducing inputs.
-  * ``gplvm_type="bayesian"`` — Titsias (2009) collapsed variational lower
-    bound (DTC + trace correction).  The reference's additional variational
-    X-posterior is approximated by a point estimate under the same Gaussian
-    X prior; this matches how the reference actually scores runs (on the
-    latent means).
+  * ``gplvm_type="bayesian"`` — the full Titsias & Lawrence (2010)
+    variational GP-LVM: a factorized Gaussian posterior
+    ``q(X) = prod_n N(x_n | mu_n, diag(s_n))`` with the collapsed bound
+    evaluated through closed-form psi statistics of the SE kernel, minus
+    ``KL(q(X) || p(X))`` against the observation prior
+    ``N(X_obs, obs_std^2 I)`` — matching GPy ``BayesianGPLVM`` with
+    ``X_variance = obs_std^2`` and the ``GPyConstDiagonalGaussian`` prior
+    (reference ``gprfopt.py:247-250``, ``gpy_shims.py:11-85``).  Runs are
+    scored on the latent means, like the reference.
+  * ``gplvm_type="titsias"`` — Titsias (2009) collapsed bound with a point
+    estimate for X (the round-1/2 approximation, kept as a cheaper
+    baseline).
   * ``gplvm_type="basic"``   — exact full-GP marginal likelihood.
 
 All bounds are computed with the numerically standard Cholesky/Woodbury
@@ -106,6 +113,130 @@ def titsias_bound(X, Z, Y, cov: GPCov, noise_var):
     return mll - 0.5 * dy * trace_term / noise_var
 
 
+def psi_statistics(mu, S, Z, sv, ls, chunk: int = 0):
+    """Closed-form psi statistics of the SE kernel ``sv exp(-sum_q
+    (x_q - z_q)^2 / l_q^2)`` under ``q(x_n) = N(mu_n, diag(S_n))``
+    (Titsias & Lawrence 2010; adapted to the treegp exponent convention —
+    GPy's RBF lengthscale corresponds to ``l / sqrt(2)``).
+
+    Returns (psi0 scalar, Psi1 [n, k], Psi2 [k, k]).  Psi2's per-point
+    [k, k] matrices are summed in ``lax.map`` chunks with remat so peak
+    memory stays at ``chunk * k^2`` (the z-bar coupling makes Psi2
+    genuinely O(n k^2 d) — it does not factor into an einsum).
+    """
+    n, d = mu.shape
+    k = Z.shape[0]
+    l2 = ls**2  # [d]
+
+    # Psi1[n, m] = sv prod_q (1 + 2 S/l^2)^{-1/2} exp(-(mu - z)^2/(l^2 + 2S))
+    f1 = 1.0 + 2.0 * S / l2  # [n, d]
+    e1 = (mu[:, None, :] - Z[None, :, :]) ** 2 / (l2 + 2.0 * S)[:, None, :]
+    Psi1 = sv * jnp.exp(
+        -0.5 * jnp.sum(jnp.log(f1), axis=1)[:, None] - jnp.sum(e1, axis=2)
+    )
+
+    # Psi2[m, m'] = sv^2 sum_n prod_q (1 + 4 S/l^2)^{-1/2}
+    #     exp(-(z_m - z_m')^2/(2 l^2) - (mu - zbar)^2/(l^2/2 + 2 S))
+    zbar = 0.5 * (Z[:, None, :] + Z[None, :, :])  # [k, k, d]
+    dz2 = (Z[:, None, :] - Z[None, :, :]) ** 2  # [k, k, d]
+    base = -jnp.sum(dz2 / (2.0 * l2), axis=2)  # [k, k]
+    if chunk <= 0:
+        # bound the [chunk, k, k] temporaries near 2^24 elements (~64 MB)
+        chunk = max(8, min(n, (1 << 24) // max(k * k, 1)))
+
+    pad = (-n) % chunk
+    mu_p = jnp.concatenate([mu, jnp.zeros((pad, d), mu.dtype)], axis=0)
+    S_p = jnp.concatenate([S, jnp.ones((pad, d), S.dtype)], axis=0)
+    w_p = jnp.concatenate(
+        [jnp.ones((n,), mu.dtype), jnp.zeros((pad,), mu.dtype)]
+    )
+    nch = (n + pad) // chunk
+
+    def body(args):
+        mu_c, S_c, w_c = args  # [c, d], [c, d], [c]
+        f2 = 1.0 + 4.0 * S_c / l2  # [c, d]
+        logpref = -0.5 * jnp.sum(jnp.log(f2), axis=1)  # [c]
+        denom = 0.5 * l2 + 2.0 * S_c  # [c, d]
+        expo = jnp.zeros((mu_c.shape[0], k, k), mu.dtype)
+        for q in range(d):  # d is tiny (2-3); accumulate without a d axis
+            expo = expo + ((mu_c[:, q, None, None] - zbar[None, :, :, q]) ** 2
+                           / denom[:, q, None, None])
+        return jnp.sum(
+            w_c[:, None, None] * jnp.exp(logpref[:, None, None] - expo),
+            axis=0,
+        )
+
+    chunks = (
+        mu_p.reshape(nch, chunk, d),
+        S_p.reshape(nch, chunk, d),
+        w_p.reshape(nch, chunk),
+    )
+    parts = jax.lax.map(jax.checkpoint(body), chunks)
+    Psi2 = sv**2 * jnp.exp(base) * jnp.sum(parts, axis=0)
+    psi0 = n * sv
+    return psi0, Psi1, Psi2
+
+
+def bgplvm_collapsed_F(mu, S, Z, Y, cov: GPCov, noise_var):
+    """The collapsed expected-log-likelihood part of the Titsias & Lawrence
+    (2010) variational GP-LVM bound (everything except the KL over X).
+
+    Standard inducing-point algebra: with ``beta = 1/noise_var``,
+    ``A = beta Lm^-1 Psi2 Lm^-T``, ``B = I + A``,
+
+        F = dy [ -n/2 log 2pi + n/2 log beta - 1/2 logdet B
+                 - beta/2 psi0 + 1/2 tr(A) ]
+            - beta/2 ||Y||_F^2 + beta^2/2 ||LB^-1 Lm^-1 Psi1^T Y||_F^2
+
+    At ``S -> 0`` this reduces exactly to :func:`titsias_bound` (psi0 ->
+    tr(Knn), Psi1 -> Knm, Psi2 -> Knm^T Knm) — a tested identity.
+    """
+    n, dy = Y.shape
+    kz = Z.shape[0]
+    sv = cov.signal_var
+    ls = jnp.asarray(cov.dfn_params)
+    psi0, Psi1, Psi2 = psi_statistics(mu, S, Z, sv, ls)
+    Kmm = cross_kernel_matrix(cov, Z, Z)
+    Kmm = Kmm + _rel_jitter(Kmm.dtype) * sv * jnp.eye(kz, dtype=Kmm.dtype)
+    Lm = jsp_linalg.cholesky(Kmm, lower=True)
+    beta = 1.0 / noise_var
+    T1 = jsp_linalg.solve_triangular(Lm, Psi2, lower=True)
+    A = beta * jsp_linalg.solve_triangular(Lm, T1.T, lower=True).T
+    B = jnp.eye(kz, dtype=A.dtype) + A
+    LB = jsp_linalg.cholesky(B, lower=True)
+    logdetB = 2.0 * jnp.sum(jnp.log(jnp.diagonal(LB)))
+    P = jsp_linalg.solve_triangular(Lm, Psi1.T @ Y, lower=True)  # [k, dy]
+    c = jsp_linalg.solve_triangular(LB, P, lower=True)
+    F = dy * (
+        -0.5 * n * _LOG_2PI
+        + 0.5 * n * jnp.log(beta)
+        - 0.5 * logdetB
+        - 0.5 * beta * psi0
+        + 0.5 * jnp.trace(A)
+    ) - 0.5 * beta * jnp.sum(Y * Y) + 0.5 * beta**2 * jnp.sum(c * c)
+    return F
+
+
+def bgplvm_bound(mu, S, Z, Y, cov: GPCov, noise_var, prior_mean=0.0,
+                 prior_var=1.0):
+    """Full variational GP-LVM lower bound:
+    :func:`bgplvm_collapsed_F` minus ``KL(q(X) || N(prior_mean, prior_var))``.
+
+    GPy's BayesianGPLVM keeps its internal standard-normal prior
+    p(X) = N(0, I) (the reference leaves ``m.X.mean.set_prior(p)``
+    commented out, ``gprfopt.py:250``, and adds the observation prior on
+    the q-means manually in its objective wrapper — the driver here does
+    the same)."""
+    F = bgplvm_collapsed_F(mu, S, Z, Y, cov, noise_var)
+    kl = 0.5 * jnp.sum(
+        (S + (mu - prior_mean) ** 2) / prior_var
+        - 1.0
+        + jnp.log(prior_var)
+        - jnp.log(S)
+    )
+    return F - kl
+
+
 def full_gplvm_mll(X, Y, cov: GPCov, noise_var):
     """Exact GP marginal likelihood (the 'basic' GPLVM objective)."""
     n = X.shape[0]
@@ -129,7 +260,7 @@ def _objective_and_grads(X, Z, log_lscale, Y, sv, noise_var, gplvm_type, learn_l
         with jax.default_matmul_precision("highest"):
             if gplvm_type == "sparse":
                 return fitc_mll(X, Z, Y, cov, noise_var)
-            elif gplvm_type == "bayesian":
+            elif gplvm_type == "titsias":
                 return titsias_bound(X, Z, Y, cov, noise_var)
             elif gplvm_type == "basic":
                 return full_gplvm_mll(X, Y, cov, noise_var)
@@ -140,6 +271,26 @@ def _objective_and_grads(X, Z, log_lscale, Y, sv, noise_var, gplvm_type, learn_l
     if not learn_lscale:
         gl = jnp.zeros_like(gl)
     return ll, gX, gZ, gl
+
+
+@functools.partial(jax.jit, static_argnames=("learn_lscale",))
+def _bgplvm_objective_and_grads(mu, logS, Z, log_lscale, Y, sv, noise_var,
+                                learn_lscale):
+    def f(mu, logS, Z, log_lscale):
+        dx = mu.shape[1]
+        ls = jnp.exp(log_lscale) * jnp.ones((dx,), dtype=mu.dtype)
+        cov = GPCov(wfn_params=jnp.asarray([sv], dtype=mu.dtype), dfn_params=ls)
+        with jax.default_matmul_precision("highest"):
+            return bgplvm_bound(
+                mu, jnp.exp(logS), Z, Y, cov, noise_var,
+                prior_mean=0.0, prior_var=1.0,
+            )
+
+    ll, grads = jax.value_and_grad(f, argnums=(0, 1, 2, 3))(mu, logS, Z, log_lscale)
+    gmu, glogS, gZ, gl = grads
+    if not learn_lscale:
+        gl = jnp.zeros_like(gl)
+    return ll, gmu, glogS, gZ, gl
 
 
 def do_sgplvm(d, X0, C0, sdata, method="l-bfgs-b", maxsec=3600, gplvm_type="sparse", num_inducing=100):
@@ -161,37 +312,59 @@ def do_sgplvm(d, X0, C0, sdata, method="l-bfgs-b", maxsec=3600, gplvm_type="spar
     else:
         Z0 = np.zeros((0, xd))
 
+    variational = gplvm_type == "bayesian"
+    # q(X) variances initialized at the observation noise, exactly the
+    # reference's ``X_variance = ones * obs_std**2`` (gprfopt.py:249)
+    logS0 = (
+        np.full(X0.shape, 2.0 * math.log(max(float(sdata.obs_std), 1e-8)))
+        if variational
+        else np.zeros((0, xd))
+    )
+
     nmeans = X0.size
+    n_ls = logS0.size
     n_ix = Z0.size
 
-    def pack(X, Z, log_l):
-        return np.concatenate([X.flatten(), Z.flatten(), [log_l] if learn_lscale else []])
+    def pack(X, logS, Z, log_l):
+        return np.concatenate(
+            [X.flatten(), logS.flatten(), Z.flatten(),
+             [log_l] if learn_lscale else []]
+        )
 
     def unpack(xx):
         X = xx[:nmeans].reshape(X0.shape)
-        Z = xx[nmeans : nmeans + n_ix].reshape(Z0.shape)
+        logS = xx[nmeans : nmeans + n_ls].reshape(logS0.shape)
+        Z = xx[nmeans + n_ls : nmeans + n_ls + n_ix].reshape(Z0.shape)
         log_l = xx[-1] if learn_lscale else log_lscale0
-        return X, Z, log_l
+        return X, logS, Z, log_l
 
     sstep = [0]
     f_log = open(os.path.join(d, "log.txt"), "w")
     t0 = time.time()
 
     def llgrad_wrapper(xx):
-        X, Z, log_l = unpack(xx)
+        X, logS, Z, log_l = unpack(xx)
         save_step(d, sstep[0], X=X)
         if n_ix:
             np.save(os.path.join(d, "step_%05d_IX.npy" % sstep[0]), Z)
 
-        ll, gX, gZ, gl = _objective_and_grads(
-            jnp.asarray(X), jnp.asarray(Z), jnp.asarray(log_l), Y,
-            sv, noise_var, gplvm_type, learn_lscale,
-        )
+        if variational:
+            ll, gX, glogS, gZ, gl = _bgplvm_objective_and_grads(
+                jnp.asarray(X), jnp.asarray(logS), jnp.asarray(Z),
+                jnp.asarray(log_l), Y, sv, noise_var, learn_lscale,
+            )
+            grad_parts = [np.asarray(gX).flatten(), np.asarray(glogS).flatten(),
+                          np.asarray(gZ).flatten()]
+        else:
+            ll, gX, gZ, gl = _objective_and_grads(
+                jnp.asarray(X), jnp.asarray(Z), jnp.asarray(log_l), Y,
+                sv, noise_var, gplvm_type, learn_lscale,
+            )
+            grad_parts = [np.asarray(gX).flatten(), np.asarray(gZ).flatten()]
         nll = -float(ll)
         grad = -np.concatenate(
-            [np.asarray(gX).flatten(), np.asarray(gZ).flatten(),
-             [float(gl)] if learn_lscale else []]
-        )
+            grad_parts + ([[float(gl)]] if learn_lscale else [])
+        ).astype(np.float64)
 
         prior_ll, prior_grad = sdata.x_prior(xx[:nmeans])
         nll -= prior_ll
@@ -207,7 +380,7 @@ def do_sgplvm(d, X0, C0, sdata, method="l-bfgs-b", maxsec=3600, gplvm_type="spar
     try:
         scipy.optimize.minimize(
             llgrad_wrapper,
-            pack(X0, Z0, log_lscale0),
+            pack(X0, logS0, Z0, log_lscale0),
             jac=True,
             method=method,
             options={"ftol": 1e-6, "maxiter": 200},

@@ -164,3 +164,102 @@ def test_fitc_f32_large_inducing_finite(rng):
     assert np.isfinite(float(v))
     assert np.all(np.isfinite(np.asarray(gX)))
     assert np.all(np.isfinite(np.asarray(gZ)))
+
+
+def test_psi_statistics_degenerate_and_monte_carlo(rng):
+    """Psi stats vs their definitions: exact kernels at S -> 0, Monte Carlo
+    at finite S."""
+    from gprf_tpu.model.sgplvm import psi_statistics
+
+    n, k, d = 6, 4, 2
+    mu = rng.uniform(size=(n, d))
+    Z = rng.uniform(size=(k, d))
+    sv, ls = 1.3, np.array([0.35, 0.5])
+
+    # S -> 0: Psi1 == k(mu, Z), Psi2 == Knm^T Knm (per point, summed)
+    psi0, P1, P2 = psi_statistics(
+        jnp.asarray(mu), jnp.full((n, d), 1e-14), jnp.asarray(Z),
+        sv, jnp.asarray(ls),
+    )
+    Knm = kernel_np(mu, Z, sv, ls)
+    assert np.isclose(float(psi0), n * sv)
+    np.testing.assert_allclose(np.asarray(P1), Knm, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(P2), Knm.T @ Knm, rtol=1e-6)
+
+    # finite S: Monte Carlo over q(X)
+    S = rng.uniform(0.01, 0.08, size=(n, d))
+    _, P1s, P2s = psi_statistics(
+        jnp.asarray(mu), jnp.asarray(S), jnp.asarray(Z), sv, jnp.asarray(ls)
+    )
+    draws = 200_000
+    g = np.random.default_rng(7)
+    P1_mc = np.zeros((n, k))
+    P2_mc = np.zeros((k, k))
+    for i in range(n):
+        xs = mu[i] + g.standard_normal((draws, d)) * np.sqrt(S[i])
+        Kxz = kernel_np(xs, Z, sv, ls)  # [draws, k]
+        P1_mc[i] = Kxz.mean(axis=0)
+        P2_mc += (Kxz[:, :, None] * Kxz[:, None, :]).mean(axis=0)
+    np.testing.assert_allclose(np.asarray(P1s), P1_mc, rtol=2e-2, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(P2s), P2_mc, rtol=3e-2, atol=1e-4)
+
+
+def test_bgplvm_collapsed_F_reduces_to_titsias(rng):
+    """At S -> 0 the variational collapsed F equals the point-estimate
+    Titsias bound exactly (psi0 -> tr Knn, Psi1 -> Knm, Psi2 -> Knm^T Knm)."""
+    from gprf_tpu.model.sgplvm import bgplvm_collapsed_F, titsias_bound
+
+    n, k, dy, d = 14, 5, 3, 2
+    X = rng.uniform(size=(n, d))
+    Z = rng.uniform(size=(k, d))
+    Y = rng.normal(size=(n, dy))
+    cov = GPCov.create([1.0], [0.3, 0.4])
+    F = float(
+        bgplvm_collapsed_F(
+            jnp.asarray(X), jnp.full((n, d), 1e-14), jnp.asarray(Z),
+            jnp.asarray(Y), cov, 0.05,
+        )
+    )
+    t = float(titsias_bound(jnp.asarray(X), jnp.asarray(Z), jnp.asarray(Y), cov, 0.05))
+    assert np.isclose(F, t, rtol=1e-6), (F, t)
+
+
+def test_bgplvm_bound_below_exact_marginal(rng):
+    """F (the expected conditional part at q concentrated on X) never
+    exceeds the exact GP marginal likelihood at that X."""
+    from gprf_tpu.model.sgplvm import bgplvm_collapsed_F
+
+    n, k, dy, d = 16, 6, 2, 2
+    X = rng.uniform(size=(n, d))
+    Z = X[rng.choice(n, size=k, replace=False)]
+    Y = rng.normal(size=(n, dy))
+    cov = GPCov.create([1.0], [0.3, 0.3])
+    F = float(
+        bgplvm_collapsed_F(
+            jnp.asarray(X), jnp.full((n, d), 1e-14), jnp.asarray(Z),
+            jnp.asarray(Y), cov, 0.05,
+        )
+    )
+    exact = float(full_gplvm_mll(jnp.asarray(X), jnp.asarray(Y), cov, 0.05))
+    assert F <= exact + 1e-6
+
+
+def test_do_sgplvm_variational_bayesian(tmp_path, monkeypatch, rng):
+    """End-to-end driver run of the true variational GP-LVM: the bound
+    improves, q-variances are optimized (packed in theta), and the file
+    protocol is written."""
+    from gprf_tpu.data.sampled import SampledData
+    from gprf_tpu.model.sgplvm import do_sgplvm
+    from gprf_tpu.optim.driver import load_log
+    from gprf_tpu.partition.grid import grid_centers
+
+    monkeypatch.setenv("GPRF_EXPERIMENTS", str(tmp_path / "exp"))
+    sd = SampledData(n=50, ntrain=40, lscale=0.3, obs_std=0.03, yd=3, seed=1)
+    sd.set_centers(grid_centers(4))
+    d = str(tmp_path / "bayes")
+    os.makedirs(d)
+    do_sgplvm(d, sd.X_obs, None, sd, maxsec=60, gplvm_type="bayesian", num_inducing=10)
+    steps, times, lls = load_log(d)
+    assert len(steps) >= 2
+    assert lls[-1] >= lls[0]
+    assert os.path.exists(os.path.join(d, "finished"))
