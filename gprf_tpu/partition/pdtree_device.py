@@ -69,7 +69,23 @@ class FlatPDTree:
         self.n_blocks = n_blocks
 
     def device_arrays(self, dtype=jnp.float32):
+        # one packed node table [N, 2d+3]: a traversal level then costs ONE
+        # dynamic gather instead of five (gathers dominate the re-block's
+        # device time; measured on the 12k seismic step)
+        d = self.split_vec.shape[1]
+        packed = np.concatenate(
+            [
+                self.split_vec,
+                self.center,
+                self.split[:, None],
+                self.left[:, None].astype(np.float64),
+                self.right[:, None].astype(np.float64),
+            ],
+            axis=1,
+        )
         return dict(
+            packed=jnp.asarray(packed, dtype=dtype),
+            d=d,
             split_vec=jnp.asarray(self.split_vec, dtype=dtype),
             center=jnp.asarray(self.center, dtype=dtype),
             split=jnp.asarray(self.split, dtype=dtype),
@@ -87,6 +103,24 @@ def assign_blocks_pdtree(X2, arrays, depth: int):
     """
     n = X2.shape[0]
     cur = jnp.zeros((n,), dtype=jnp.int32)
+
+    packed = arrays.get("packed")
+    if packed is not None:
+        # unrolled static-depth traversal, ONE gather per level from the
+        # packed node table (vs five gathers in a fori_loop body, which
+        # XLA cannot fuse across iterations)
+        d = arrays["d"]
+        for _ in range(depth):
+            row = packed[cur]  # [n, 2d+3]
+            vec = row[:, :d]
+            ctr = row[:, d : 2 * d]
+            split = row[:, 2 * d]
+            a = jnp.sum((X2 - ctr) * vec, axis=1)
+            go_left = a < split
+            cur = jnp.where(go_left, row[:, 2 * d + 1], row[:, 2 * d + 2]).astype(
+                jnp.int32
+            )
+        return arrays["leaf_block"][cur]
 
     def step(_, cur):
         vec = arrays["split_vec"][cur]  # [n, d]
