@@ -236,3 +236,60 @@ def test_sharded_multistart_matches_single_device(rng, mesh):
         carry, (v, _, _) = run_fn(carry)
         vals[name] = np.asarray(v)
     np.testing.assert_allclose(vals["sharded"], vals["single"], rtol=1e-9)
+
+
+def test_sharded_fused_loss_pallas_path(rng, mesh):
+    """The Pallas (interpret) pair_mode composes with the mesh sharding:
+    GSPMD partitions around the custom calls and the objective+gradient
+    match the single-device program."""
+    import jax.numpy as jnp
+
+    import gprf_tpu.ops.pallas_mvn as pm
+    from gprf_tpu.kernels.gpcov import GPCov
+    from gprf_tpu.model.fused import FusedGridGPRF
+    from gprf_tpu.partition.grid import Blocker, grid_centers
+
+    orig = {
+        name: getattr(pm, name)
+        for name in (
+            "batched_mvn_ll_pallas",
+            "batched_cholesky_pallas",
+            "batched_tri_inv_pallas",
+            "batched_chol_inv_pallas",
+        )
+    }
+    try:
+        pm.batched_mvn_ll_pallas = lambda Kp, Ym, na, interpret=False: orig[
+            "batched_mvn_ll_pallas"
+        ](Kp, Ym, na, True)
+        pm.batched_cholesky_pallas = lambda K, interpret=False: orig[
+            "batched_cholesky_pallas"
+        ](K, True)
+        pm.batched_tri_inv_pallas = lambda L, interpret=False: orig[
+            "batched_tri_inv_pallas"
+        ](L, True)
+        pm.batched_chol_inv_pallas = lambda K, interpret=False: orig[
+            "batched_chol_inv_pallas"
+        ](K, True)
+
+        n = 96
+        X = rng.uniform(size=(n, 2))
+        Y = rng.normal(size=(n, 4))
+        centers = np.asarray(grid_centers(9))
+        b = Blocker(centers)
+        cov = GPCov.create([1.0], [0.25, 0.25])
+        kw = dict(pair_mode="schur_pallas", dtype=jnp.float32)
+        f_mesh = FusedGridGPRF(
+            X, Y, centers, b.neighbors(), X, 0.05, cov, 0.01, mesh=mesh, **kw
+        )
+        f_one = FusedGridGPRF(
+            X, Y, centers, b.neighbors(), X, 0.05, cov, 0.01, mesh=None, **kw
+        )
+        x0 = jnp.asarray(f_mesh.theta0(), dtype=jnp.float32)
+        v1, g1 = jax.jit(jax.value_and_grad(f_mesh.loss_fn()))(x0)
+        v2, g2 = jax.jit(jax.value_and_grad(f_one.loss_fn()))(x0)
+        assert abs(float(v1 - v2)) / abs(float(v2)) < 1e-5
+        assert float(jnp.linalg.norm(g1 - g2) / jnp.linalg.norm(g2)) < 1e-4
+    finally:
+        for name, fn in orig.items():
+            setattr(pm, name, fn)
