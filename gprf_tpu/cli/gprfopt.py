@@ -4,7 +4,7 @@ Flag-for-flag rebuild of the reference ``gprfopt.py`` argparse driver
 (``gprfopt.py:605-637``), experiment-dir naming (``build_run_name``,
 ``gprfopt.py:588-603`` — the directory name encodes the config and doubles
 as the cache key), and ``do_run`` orchestration (``gprfopt.py:525-584``).
-The GPy GPLVM baselines (``--gplvm_type sparse|bayesian|basic``) are served
+The GPy GPLVM baselines (``--gplvm_type sparse|bayesian|titsias|basic``) are served
 by the native JAX sparse-GPLVM baseline in
 :mod:`gprf_tpu.model.sgplvm` instead of GPy.
 """
