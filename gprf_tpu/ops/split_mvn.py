@@ -59,9 +59,12 @@ LEAF_CHOL = min(_env_leaf("GPRF_SPLIT_LEAF_CHOL", _env_leaf("GPRF_SPLIT_LEAF", 9
                 MAX_M_CHOL)
 LEAF_MVN = min(_env_leaf("GPRF_SPLIT_LEAF_MVN", _env_leaf("GPRF_SPLIT_LEAF", 96)),
                MAX_M_MVN)
-# widest m the split path accepts (beyond it the XLA blocked-panel path is
-# the measured winner at the 80k shapes, docs/RESULTS.md)
-SPLIT_MAX_M = _env_leaf("GPRF_SPLIT_MAX_M", 512)
+# widest m the split path accepts.  Raised 512 -> 1024 after the round-3
+# 80k A/B (m=888: full step 342 -> 232 ms/eval vs the XLA blocked panels;
+# docs/RESULTS.md) — the recursive split with lanes leaves is NOT the
+# measured-lost lanes_blocked construction (that one serialized many small
+# dispatches per panel; this one is one kernel per leaf + MXU couplings).
+SPLIT_MAX_M = _env_leaf("GPRF_SPLIT_MAX_M", 1024)
 
 
 def _split_point(m: int) -> int:

@@ -30,11 +30,12 @@ def test_split_point_alignment():
 
 
 def test_split_supported_covers_seismic_gap():
-    # the round-2 gap: 144 < m <= 512 ran on the XLA fallback
-    for m in (152, 192, 216, 288, 336, 512):
+    # the round-2 gap: 144 < m <= 512 ran on the XLA fallback; the bound
+    # was raised to 1024 after the 80k A/B (m=888 split beat the panels)
+    for m in (152, 192, 216, 288, 336, 512, 888, 1024):
         assert split_supported(m, for_mvn=True), m
         assert split_supported(m, for_mvn=False), m
-    assert not split_supported(520)  # beyond the engagement bound
+    assert not split_supported(1032)  # beyond the engagement bound
     assert not split_supported(196)  # not 8-aligned
 
 
