@@ -177,19 +177,23 @@ def _schur_ll(
             mesh, mesh_axis, assignment, mask, unary_weights, edges, pair_weights
         )
 
-    # wide matrices go through panel-blocked primitives: XLA's monolithic
-    # cholesky/triangular_solve exceed scoped VMEM at f64 for m ~ 1000, and
-    # the blocked trailing updates are MXU matmuls anyway.  A lanes-kernel
-    # panel variant exists (gprf_tpu.linalg.lanes_blocked) but LOSES to the
-    # XLA panels at wide m on v5e (measured 355 vs 156 ms/eval at the 80k
-    # shapes: many small pallas dispatches, half-empty lane tiles, while
-    # XLA is already MXU-bound at ~18% f32 MFU there) — keep it opt-in.
+    # f64 wide matrices go through panel-blocked primitives: XLA's
+    # monolithic cholesky/triangular_solve exceed scoped VMEM at f64 for
+    # m ~ 1000, and the blocked trailing updates are MXU matmuls anyway.
+    # f32 beyond the split-composition range (m > 1024) uses the native
+    # monolithic kernels instead: the panel recursion's nested
+    # concatenation assembly keeps every level's buffer live — a measured
+    # 24 GB HBM OOM at the full-GP m = 10000 — while XLA's own cholesky is
+    # internally blocked with O(m^2) memory.  A lanes-kernel panel variant
+    # exists (gprf_tpu.linalg.lanes_blocked) but LOSES to the XLA panels
+    # at wide m on v5e (measured 355 vs 156 ms/eval at the 80k shapes:
+    # many small pallas dispatches, half-empty lane tiles) — opt-in.
     f64 = jnp.result_type(X.dtype) == jnp.float64
     m_pad = assignment.shape[1]
     use_lanes_blocked = use_pallas and not f64 and _WIDE_LANES
-    wide = m_pad > 512 or f64
+    wide = f64 and m_pad > 512
 
-    if use_lanes_blocked and wide:
+    if use_lanes_blocked and m_pad > 512:
         from gprf_tpu.linalg.lanes_blocked import (
             blocked_cholesky_lanes,
             blocked_tri_solve_lanes,
