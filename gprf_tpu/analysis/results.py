@@ -104,8 +104,8 @@ def analyze_run(d, sdata, local_dist=1.0, predict=False, X0=None):
     gprf = sdata.build_gprf(X=X, local_dist=local_dist)
     ll1 = -np.inf
     try:
-        if gprf.n_blocks > 1:
-            ll1 = gprf.llgrad()[0]
+        # single-block (full GP) included: one masked block term
+        ll1 = gprf.llgrad()[0]
     except Exception:
         pass
     s = "trueX inf %.2f %.4f %.4f %.4f %.4f %.4f %.4f %.4f %.4f %.4f" % (
