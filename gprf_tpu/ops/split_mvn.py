@@ -59,6 +59,12 @@ LEAF_CHOL = min(_env_leaf("GPRF_SPLIT_LEAF_CHOL", _env_leaf("GPRF_SPLIT_LEAF", 9
                 MAX_M_CHOL)
 LEAF_MVN = min(_env_leaf("GPRF_SPLIT_LEAF_MVN", _env_leaf("GPRF_SPLIT_LEAF", 96)),
                MAX_M_MVN)
+# MVN leaves route through the fused MVN+inverse kernel (ll + W + z in one
+# dispatch, einsum-only VJP — no Pallas tri-inv recompute in the backward)
+# whenever its tighter VMEM budget admits the (m, dy) shape.  Opt-out for
+# A/B via GPRF_MVN_INV=0 (read once at import, like every toggle here).
+MVN_INV = os.environ.get("GPRF_MVN_INV", "1") == "1"
+
 # widest m the split path accepts.  Raised 512 -> 1024 after the round-3
 # 80k A/B (m=888: full step 342 -> 232 ms/eval vs the XLA blocked panels;
 # docs/RESULTS.md) — the recursive split with lanes leaves is NOT the
@@ -167,6 +173,8 @@ def mvn_ll_split(Kp, Ym, n_active, interpret: bool = False,
     if leaf_chol is None:
         leaf_chol = LEAF_CHOL
     if m <= leaf_mvn:
+        if MVN_INV and _pm.mvn_inv_supported(m, Ym.shape[-1]):
+            return _pm.batched_mvn_ll_inv_pallas(Kp, Ym, n_active, interpret)
         return _pm.batched_mvn_ll_pallas(Kp, Ym, n_active, interpret)
     dy = Ym.shape[-1]
     h = _split_point(m)

@@ -335,11 +335,13 @@ def test_schur_pallas_matches_schur(rng):
     # Compare pallas backend in interpret mode by monkeypatching:
     import gprf_tpu.ops.pallas_mvn as pm
     orig_mvn = pm.batched_mvn_ll_pallas
+    orig_minv = pm.batched_mvn_ll_inv_pallas
     orig_chol = pm.batched_cholesky_pallas
     orig_tinv = pm.batched_tri_inv_pallas
     orig_cinv = pm.batched_chol_inv_pallas
     try:
         pm.batched_mvn_ll_pallas = lambda Kp, Ym, na, interpret=False: orig_mvn(Kp, Ym, na, True)
+        pm.batched_mvn_ll_inv_pallas = lambda Kp, Ym, na, interpret=False: orig_minv(Kp, Ym, na, True)
         pm.batched_cholesky_pallas = lambda K, interpret=False: orig_chol(K, True)
         pm.batched_tri_inv_pallas = lambda L, interpret=False: orig_tinv(L, True)
         pm.batched_chol_inv_pallas = lambda K, interpret=False: orig_cinv(K, True)
@@ -351,6 +353,7 @@ def test_schur_pallas_matches_schur(rng):
         )
     finally:
         pm.batched_mvn_ll_pallas = orig_mvn
+        pm.batched_mvn_ll_inv_pallas = orig_minv
         pm.batched_cholesky_pallas = orig_chol
         pm.batched_tri_inv_pallas = orig_tinv
         pm.batched_chol_inv_pallas = orig_cinv

@@ -274,6 +274,92 @@ def test_pallas_chol_inv_end_to_end_gradient(rng):
     )
 
 
+def test_pallas_mvn_inv_matches_reference(rng):
+    """Fused MVN+inverse kernel: ll parity with the masked reference and the
+    plain MVN kernel, including multi-panel W widths and batch padding."""
+    from gprf_tpu.ops.pallas_mvn import batched_mvn_ll_inv_pallas
+
+    K, Kp, Y, Ym, mask, nact = _masked_setup(rng, B=3, m=20, dy=6, n_active=17)
+    ll = np.asarray(
+        batched_mvn_ll_inv_pallas(
+            jnp.asarray(Kp), jnp.asarray(Ym), jnp.asarray(nact), True
+        )
+    )
+    ll_ref = np.array(
+        [
+            float(masked_gaussian_ll(jnp.asarray(K[b]), jnp.asarray(Y[b]), jnp.asarray(mask[b])))
+            for b in range(len(K))
+        ]
+    )
+    np.testing.assert_allclose(ll, ll_ref, rtol=1e-10)
+
+
+def test_pallas_mvn_inv_end_to_end_gradient(rng):
+    """The einsum-only VJP of the saved (W, z) residuals must reproduce the
+    autodiff gradient of the masked reference exactly (symmetric K path)."""
+    from gprf_tpu.ops.pallas_mvn import batched_mvn_ll_inv_pallas
+
+    n, dy = 18, 4
+    X = rng.uniform(size=(n, 2))
+    Y = jnp.asarray(rng.normal(size=(1, n, dy)))
+    cov = GPCov.create([1.0], [0.3, 0.3])
+    mask = jnp.ones((1, n), dtype=bool)
+    nact = jnp.asarray([float(n)])
+
+    def f_pallas(X):
+        K = cross_kernel_matrix(cov, X, X) + 0.05 * jnp.eye(n)
+        return jnp.sum(batched_mvn_ll_inv_pallas(K[None], Y, nact, True))
+
+    def f_ref(X):
+        K = cross_kernel_matrix(cov, X, X) + 0.05 * jnp.eye(n)
+        return masked_gaussian_ll(K, Y[0], mask[0])
+
+    assert np.isclose(float(f_pallas(jnp.asarray(X))), float(f_ref(jnp.asarray(X))), rtol=1e-12)
+    g1 = np.asarray(jax.grad(f_pallas)(jnp.asarray(X)))
+    g2 = np.asarray(jax.grad(f_ref)(jnp.asarray(X)))
+    np.testing.assert_allclose(g1, g2, rtol=1e-8, atol=1e-12)
+
+
+def test_pallas_mvn_inv_y_gradient(rng):
+    """dY (and the masked-dK symmetry) through the fused kernel's VJP."""
+    from gprf_tpu.ops.pallas_mvn import batched_mvn_ll_inv_pallas
+
+    K, Kp, Y, Ym, mask, nact = _masked_setup(rng, B=2, m=12, dy=3, n_active=10)
+
+    def f_fused(Kp, Ym):
+        return jnp.sum(
+            batched_mvn_ll_inv_pallas(Kp, Ym, jnp.asarray(nact), True)
+        )
+
+    def f_ref(Kp, Ym):
+        return jnp.sum(jax.vmap(masked_gaussian_ll)(Kp, Ym, jnp.asarray(mask)))
+
+    gK1, gY1 = jax.grad(f_fused, argnums=(0, 1))(jnp.asarray(Kp), jnp.asarray(Ym))
+    gK2, gY2 = jax.grad(f_ref, argnums=(0, 1))(jnp.asarray(Kp), jnp.asarray(Ym))
+    act = mask[:, :, None] & mask[:, None, :]
+    np.testing.assert_allclose(
+        np.asarray(gK1) * act,
+        0.5 * (np.asarray(gK2) + np.transpose(np.asarray(gK2), (0, 2, 1))) * act,
+        rtol=1e-9, atol=1e-12,
+    )
+    np.testing.assert_allclose(
+        np.asarray(gY1) * mask[:, :, None], np.asarray(gY2) * mask[:, :, None],
+        rtol=1e-9, atol=1e-12,
+    )
+
+
+def test_mvn_inv_support_predicate():
+    """The fused kernel must decline shapes whose L + residual + panel
+    scratch exceed VMEM (m=144 at dy=50 measured over budget) and accept
+    every default split leaf."""
+    from gprf_tpu.ops.pallas_mvn import mvn_inv_supported
+
+    assert mvn_inv_supported(64, 50)
+    assert mvn_inv_supported(96, 50)
+    assert not mvn_inv_supported(144, 50)
+    assert not mvn_inv_supported(200, 1)
+
+
 def test_pallas_chol_inv_wide_fallback(rng):
     """Beyond the VMEM cap the primitive falls back to XLA; the custom VJP
     formula must still hold there."""

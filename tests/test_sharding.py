@@ -253,6 +253,7 @@ def test_sharded_fused_loss_pallas_path(rng, mesh):
         name: getattr(pm, name)
         for name in (
             "batched_mvn_ll_pallas",
+            "batched_mvn_ll_inv_pallas",
             "batched_cholesky_pallas",
             "batched_tri_inv_pallas",
             "batched_chol_inv_pallas",
@@ -261,6 +262,9 @@ def test_sharded_fused_loss_pallas_path(rng, mesh):
     try:
         pm.batched_mvn_ll_pallas = lambda Kp, Ym, na, interpret=False: orig[
             "batched_mvn_ll_pallas"
+        ](Kp, Ym, na, True)
+        pm.batched_mvn_ll_inv_pallas = lambda Kp, Ym, na, interpret=False: orig[
+            "batched_mvn_ll_inv_pallas"
         ](Kp, Ym, na, True)
         pm.batched_cholesky_pallas = lambda K, interpret=False: orig[
             "batched_cholesky_pallas"
