@@ -214,8 +214,8 @@ def _chol_core(interpret: bool):
         nb, m, _, T = Kl.shape
         return pl.pallas_call(
             _chol_kernel,
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
             out_shape=jax.ShapeDtypeStruct((nb, m, m, T), Kl.dtype),
             interpret=interpret,
         )(Kl)
@@ -377,8 +377,8 @@ def _tri_inv_core(interpret: bool):
         ncp = (m + cols - 1) // cols
         return pl.pallas_call(
             functools.partial(_tri_inv_kernel, cols=cols),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
             out_shape=jax.ShapeDtypeStruct((nb, ncp, m, cols, T), Ll.dtype),
             interpret=interpret,
         )(Ll)
@@ -536,10 +536,10 @@ def _chol_inv_core(interpret: bool):
         ncp = (m + cols - 1) // cols
         return pl.pallas_call(
             functools.partial(_chol_inv_kernel, cols=cols),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=(
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ),
             out_shape=(
                 jax.ShapeDtypeStruct((nb, m, m, T), Kl.dtype),
@@ -693,13 +693,13 @@ def _mvn_core(interpret: bool):
         return pl.pallas_call(
             _mvn_kernel,
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=(
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ),
             out_shape=(
                 jax.ShapeDtypeStruct((nb, 1, T), Kl.dtype),
@@ -924,14 +924,14 @@ def _mvn_inv_core(interpret: bool):
         return pl.pallas_call(
             functools.partial(_mvn_inv_kernel, cols=cols),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=(
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ),
             out_shape=(
                 jax.ShapeDtypeStruct((nb, 1, T), Kl.dtype),
