@@ -281,6 +281,10 @@ def build_run_name(args):
     (ntrain, ntest, nblocks, lscale, obs_std, local_dist, yd, method, task,
      init_seed, noise_var, rpc_blocksize, seed, gplvm_type, num_inducing,
      init_true) = vals
+    if obs_std is None:
+        # same default the sampler applies (data/sampled.py): the run-dir
+        # name must match whether the user passed the value or let it default
+        obs_std = lscale / 10
     return "%d_%d_%s_%.6f_%.6f_%.4f_%d_%s_%s_%d_%s_s%s_%s%d" % (
         ntrain,
         ntrain + ntest,

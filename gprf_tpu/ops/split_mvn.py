@@ -59,11 +59,18 @@ LEAF_CHOL = min(_env_leaf("GPRF_SPLIT_LEAF_CHOL", _env_leaf("GPRF_SPLIT_LEAF", 9
                 MAX_M_CHOL)
 LEAF_MVN = min(_env_leaf("GPRF_SPLIT_LEAF_MVN", _env_leaf("GPRF_SPLIT_LEAF", 96)),
                MAX_M_MVN)
-# MVN leaves route through the fused MVN+inverse kernel (ll + W + z in one
-# dispatch, einsum-only VJP — no Pallas tri-inv recompute in the backward)
-# whenever its tighter VMEM budget admits the (m, dy) shape.  Opt-out for
-# A/B via GPRF_MVN_INV=0 (read once at import, like every toggle here).
-MVN_INV = os.environ.get("GPRF_MVN_INV", "1") == "1"
+# Opt-in: route MVN leaves through the fused MVN+inverse kernel (ll + W +
+# z in one dispatch, einsum-only VJP — no Pallas tri-inv recompute in the
+# backward) whenever its tighter VMEM budget admits the (m, dy) shape.
+# Measured 4.30 -> 4.05 ms/eval at the flagship but VETOED as default
+# (docs/RESULTS.md): the flagship QoR run deterministically lands mad
+# 0.00384 vs 0.00325 for the control on the identical config — a
+# trajectory effect, not a gradient bug (on-chip parity vs an f64 oracle:
+# dK relerr 3.0e-5 for BOTH paths, scripts/check_mvninv_parity.py) — and
+# the seismic step is neutral (7.16 vs 7.12).  Same methodology as the
+# GPRF_SCHUR_PRECISION=high veto.  Read once at import, like every toggle
+# here; A/B in fresh processes.
+MVN_INV = os.environ.get("GPRF_MVN_INV", "0") == "1"
 
 # widest m the split path accepts.  Raised 512 -> 1024 after the round-3
 # 80k A/B (m=888: full step 342 -> 232 ms/eval vs the XLA blocked panels;
