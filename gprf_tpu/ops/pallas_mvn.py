@@ -45,13 +45,18 @@ from jax.experimental.pallas import tpu as pltpu
 _TRI_DOUBLING = os.environ.get("GPRF_TRI_DOUBLING", "0") == "1"
 
 # matmul precision of the custom-VJP pullback einsums (measurement knob,
-# read once at import — A/B in fresh processes).  Default HIGHEST: these
-# rules trace outside the caller's precision context, and bf16-default
-# products here corrupt gradients (24% deviation measured).  "high"
-# (3 bf16 passes) halves the pullback matmul cost; it changes only
+# read once at import — A/B in fresh processes).  These rules trace
+# outside the caller's precision context, and bf16-DEFAULT products here
+# corrupt gradients (24% deviation measured) — never drop below "high".
+# Default "high" (3 bf16 passes per f32 matmul): it changes only
 # *gradient* roundoff, not the objective — distinct from the vetoed
-# GPRF_SCHUR_PRECISION=high, which coarsens the forward Schur algebra too.
-_VJP_PRECISION = os.environ.get("GPRF_VJP_PRECISION", "highest")
+# GPRF_SCHUR_PRECISION=high, which coarsens the forward Schur algebra
+# too — and the round-3 A/B (docs/RESULTS.md) measured flagship
+# 4.27 -> 3.48 ms/eval with every headline QoR beating the reference
+# (flagship mad 0.00332 vs HIGHEST's 0.00325, ref 0.00363; seismic
+# 14.45/10.34 km vs 14.71/10.61; 80k 0.00073 unchanged).  Set
+# GPRF_VJP_PRECISION=highest to reproduce the old trajectories.
+_VJP_PRECISION = os.environ.get("GPRF_VJP_PRECISION", "high")
 
 
 def _tri_inv_for_vjp(L, interpret: bool):

@@ -194,20 +194,33 @@ def make_multistart_runner(loss_fn, num_steps: int, **kwargs):
     return jax.jit(jax.vmap(init_fn)), jax.jit(jax.vmap(run_fn))
 
 
-def _sanitize_replicas(carry):
+@jax.jit
+def _replica_bad_mask(x, v):
+    """[R] device-side health mask: True where a replica's proposal or value
+    went non-finite.  Computed on device so the per-dispatch host cost is a
+    one-boolean-per-replica fetch instead of pulling the whole carry
+    (S/Ymem alone are R x memory x n — ~10 MB at the flagship R=4) through
+    the ~MB/s tunnel every dispatch."""
+    return jnp.logical_not(
+        jnp.isfinite(x).all(axis=1) & jnp.isfinite(v)
+    )
+
+
+def _sanitize_replicas(carry, bad=None):
     """Restart any replica whose state went non-finite instead of aborting
     the whole run: the replica resumes from its last evaluated point
     (x_prev) — or a clone of the current best replica if that too is dead —
     with cleared curvature memory, a conservative step scale, and v = +inf
     so it cannot be selected as the winner before its next evaluation.
     Raises only if every replica is unrecoverable.  Returns
-    (carry, n_restarted)."""
-    host = {k: np.array(v) for k, v in carry.items()}
-    finite_x = np.isfinite(host["x"]).all(axis=1)
-    finite_v = np.isfinite(host["v"])
-    bad = ~(finite_x & finite_v)
+    (carry, n_restarted).  ``bad`` is the (host) _replica_bad_mask; when
+    omitted it is computed here."""
+    if bad is None:
+        bad = np.asarray(_replica_bad_mask(carry["x"], carry["v"]))
     if not bad.any():
         return carry, 0
+    host = {k: np.array(v) for k, v in carry.items()}
+    finite_v = np.isfinite(host["v"])
     prev_ok = np.isfinite(host["x_prev"]).all(axis=1)
     vs = np.where(prev_ok & finite_v, host["v"], np.inf)
     donor = int(np.argmin(vs))
@@ -242,13 +255,21 @@ def _check_capacity_all(fused, thetas):
 
 
 def _run_multistart(d, fused, theta0s, dtype, unpack_fn, write_covs,
-                    maxsec, max_iters, steps_per_dispatch, ftol):
+                    maxsec, max_iters, steps_per_dispatch, ftol,
+                    ckpt_every_sec: float = 10.0):
     """Shared multi-start loop: R vmapped replicas, per-replica stall
     tracking (the run ends only when NO replica is still improving),
     divergence-tolerant restarts, and the standard file protocol written
     for the currently-best replica.  The checkpointed/returned point is
     the last EVALUATED point of the winner (carry["x_prev"], whose value
-    is carry["v"]) — carry["x"] is the next, never-evaluated proposal."""
+    is carry["v"]) — carry["x"] is the next, never-evaluated proposal.
+
+    Per-dispatch host traffic is kept to small arrays (the [R, steps]
+    value matrix, the replica health mask, the overflow flag): the [R, n]
+    parameter fetch and the step/cov checkpoint ride a wall-clock cadence
+    (``ckpt_every_sec``, plus always on the final dispatch) — fetching
+    them every dispatch dominated the loop wall through the ~MB/s tunnel
+    (measured ~2.3 s per 86 ms-of-compute dispatch at the flagship)."""
     theta0s = np.asarray(theta0s, dtype=np.float64)
     R = theta0s.shape[0]
     make_aux = getattr(fused, "overflow_fn", None)
@@ -264,23 +285,40 @@ def _run_multistart(d, fused, theta0s, dtype, unpack_fn, write_covs,
     it = 0
     prev_best = np.full((R,), np.inf)
     stall = 0
+    last_ckpt = -np.inf
+
+    def checkpoint(it_base):
+        thetas = np.asarray(carry["x_prev"], dtype=np.float64)
+        cur_v = np.asarray(carry["v"])
+        best_r = int(np.argmin(cur_v))
+        X, FC = unpack_fn(thetas[best_r])
+        step_idx = it_base + steps_per_dispatch - 1
+        save_step(d, step_idx, X=X, FC=FC)
+        if covf is not None and FC is not None:
+            covf.write("%d %s\n" % (step_idx, FC))
+            covf.flush()
+        return thetas
+
     try:
         while it < max_iters and time.time() - t0 < maxsec:
             carry, outs = run_fn(carry)
             values = outs[0]
             vals = np.asarray(values)  # [R, steps] nll
-            carry, n_restarted = _sanitize_replicas(carry)
+            bad = np.asarray(_replica_bad_mask(carry["x"], carry["v"]))
+            carry, n_restarted = _sanitize_replicas(carry, bad)
             if n_restarted:
                 print("multistart: restarted %d diverged replica(s)" % n_restarted)
-            thetas = np.asarray(carry["x_prev"], dtype=np.float64)
             # capacity: the in-program overflow flag (aux_fn) replaces the
             # per-dispatch host round trip when the evaluator provides it
             overflowed = (
                 bool(np.asarray(outs[3]).any())
                 if aux_fn is not None
-                else not _check_capacity_all(fused, thetas)
+                else not _check_capacity_all(
+                    fused, np.asarray(carry["x_prev"], dtype=np.float64)
+                )
             )
             if overflowed:
+                thetas = np.asarray(carry["x_prev"], dtype=np.float64)
                 fused.grow_capacity()
                 aux_fn = make_aux() if make_aux is not None else None
                 init_fn, run_fn = make_multistart_runner(
@@ -306,12 +344,9 @@ def _run_multistart(d, fused, theta0s, dtype, unpack_fn, write_covs,
                 f_log.write("%d %.2f %.2f\n" % (it + k, now, float(-vals[best_r, k])))
             f_ms.flush()
             f_log.flush()
-            X, FC = unpack_fn(thetas[best_r])
-            step_idx = it + steps_per_dispatch - 1
-            save_step(d, step_idx, X=X, FC=FC)
-            if covf is not None and FC is not None:
-                covf.write("%d %s\n" % (step_idx, FC))
-                covf.flush()
+            if now - last_ckpt >= ckpt_every_sec:
+                checkpoint(it)
+                last_ckpt = now
             it += steps_per_dispatch
             # per-replica progress: only stop when no replica improves.
             # A diverged replica's vals column is NaN for the dispatch in
@@ -328,6 +363,10 @@ def _run_multistart(d, fused, theta0s, dtype, unpack_fn, write_covs,
             else:
                 stall = 0
             prev_best = best_per
+        if it:
+            # the analyzer keys its final row off the last logged step's
+            # checkpoint — always write it even off-cadence
+            checkpoint(it - steps_per_dispatch)
     finally:
         f_log.write("optimization finished after %.fs\n" % (time.time() - t0))
         f_log.close()
@@ -457,11 +496,20 @@ def do_optimization_fused(
     steps_per_dispatch: int = 20,
     ftol: float = 1e-6,
     resume: bool = False,
+    ckpt_every_sec: float = 10.0,
 ):
     """Optimization driver over a :class:`~gprf_tpu.model.fused.FusedGridGPRF`
     loss with the reference file protocol (log.txt rows per L-BFGS
-    iteration, per-dispatch X checkpoints, ``finished`` marker) plus full
+    iteration, X checkpoints, ``finished`` marker) plus full
     optimizer-state checkpointing for resume.
+
+    X and optimizer-state checkpoints ride a wall-clock cadence
+    (``ckpt_every_sec``, plus always on the final dispatch): the optimizer
+    state alone is ~2.4 MB at the flagship (S/Ymem are memory x n) and
+    fetching it through the ~MB/s tunnel every dispatch cost ~2.3 s per
+    86 ms-of-compute dispatch — the whole 400-iteration flagship run was
+    ~47 s of which <2 s was compute.  Divergence is detected from the
+    per-step objective values (already fetched; NaN X implies NaN loss).
 
     Returns the final flat X.
     """
@@ -482,17 +530,29 @@ def do_optimization_fused(
     t0 = time.time()
     prev_best = np.inf
     stall = 0
+    last_ckpt = -np.inf
+    x_shape = np.asarray(X0).shape
+
+    def checkpoint(it_base):
+        x_host = np.asarray(carry["x"])
+        if not np.all(np.isfinite(x_host)):
+            raise FloatingPointError("optimizer diverged to non-finite X")
+        # checkpoint index = last logged row of this dispatch, so the
+        # analyzer finds an X for the final step
+        save_step(d, it_base + steps_per_dispatch - 1, X=x_host.reshape(x_shape))
+        save_optimizer_state(d, carry, it_base + steps_per_dispatch)
+        return x_host
+
     try:
         while it < max_iters and time.time() - t0 < maxsec:
             carry, outs = run_fn(carry)
             values = -np.asarray(outs[0])  # stored as nll; log as ll below
-            x_host = np.asarray(carry["x"])
-            if not np.all(np.isfinite(x_host)):
-                raise FloatingPointError("optimizer diverged to non-finite X")
+            if not np.all(np.isfinite(values)):
+                raise FloatingPointError("optimizer diverged to non-finite objective")
             overflowed = (
                 bool(np.asarray(outs[3]))
                 if aux_fn is not None
-                else not fused.check_capacity(x_host)
+                else not fused.check_capacity(np.asarray(carry["x"]))
             )
             if overflowed:
                 # a block outgrew the padded slot count: grow, recompile the
@@ -500,6 +560,7 @@ def do_optimization_fused(
                 # point keeping the curvature memory (the dropped-point loss
                 # differed negligibly; membership drift is rare and slow, so
                 # this is a cold recompile, not a hot-loop cost)
+                x_host = np.asarray(carry["x"])
                 fused.grow_capacity()
                 aux_fn = make_aux() if make_aux is not None else None
                 init_fn, run_fn = make_scan_lbfgs_runner(
@@ -511,11 +572,10 @@ def do_optimization_fused(
                     **{k: carry[k] for k in ("S", "Ymem", "rho", "valid",
                                              "head", "eta")},
                 }
-            # checkpoint index = last logged row of this dispatch, so the
-            # analyzer finds an X for the final step
-            save_step(d, it + steps_per_dispatch - 1, X=x_host.reshape(np.asarray(X0).shape))
-            save_optimizer_state(d, carry, it + steps_per_dispatch)
             now = time.time() - t0
+            if now - last_ckpt >= ckpt_every_sec:
+                checkpoint(it)
+                last_ckpt = now
             for k, v in enumerate(values):
                 # positive objective rows like the reference log (ll)
                 f_log.write("%d %.2f %.2f\n" % (it + k, now, float(v)))
@@ -529,6 +589,8 @@ def do_optimization_fused(
             else:
                 stall = 0
             prev_best = min(prev_best, best)
+        if it:
+            checkpoint(it - steps_per_dispatch)
     finally:
         f_log.write("optimization finished after %.fs\n" % (time.time() - t0))
         f_log.close()
@@ -546,13 +608,18 @@ def do_optimization_fused_theta(
     steps_per_dispatch: int = 20,
     ftol: float = 1e-6,
     resume: bool = False,
+    ckpt_every_sec: float = 10.0,
 ):
     """Device-loop driver over any theta-packed fused evaluator (seismic
     :class:`~gprf_tpu.model.fused_seismic.FusedSeismicGPRF` or synthetic
     :class:`~gprf_tpu.model.fused.FusedSyntheticGPRF`): the reference file
     protocol (log.txt, step X/cov checkpoints via the theta unpacking,
     covs.txt for hyperparameter trajectories, finished marker) around the
-    scan-L-BFGS loop."""
+    scan-L-BFGS loop.  The per-dispatch covs.txt row keeps the
+    hyperparameter trajectory dense; the .npy step checkpoint and the
+    (memory x n) optimizer-state snapshot ride the ``ckpt_every_sec``
+    cadence (plus always on the final dispatch) — see
+    :func:`do_optimization_fused` for the measured tunnel cost."""
     make_aux = getattr(fused, "overflow_fn", None)
     aux_fn = make_aux() if make_aux is not None else None
     init_fn, run_fn = make_scan_lbfgs_runner(
@@ -571,13 +638,21 @@ def do_optimization_fused_theta(
     t0 = time.time()
     prev_best = np.inf
     stall = 0
+    last_ckpt = -np.inf
+
+    def checkpoint(it_base, theta_host):
+        X, FC = fused.unpack_host(theta_host)
+        save_step(d, it_base + steps_per_dispatch - 1, X=X, FC=FC)
+        save_optimizer_state(d, carry, it_base + steps_per_dispatch)
+        return FC
+
     try:
         while it < max_iters and time.time() - t0 < maxsec:
             carry, outs = run_fn(carry)
             values = -np.asarray(outs[0])
+            if not np.all(np.isfinite(values)):
+                raise FloatingPointError("optimizer diverged to non-finite objective")
             theta_host = np.asarray(carry["x"], dtype=np.float64)
-            if not np.all(np.isfinite(theta_host)):
-                raise FloatingPointError("optimizer diverged to non-finite state")
             overflowed = (
                 bool(np.asarray(outs[3]))
                 if aux_fn is not None
@@ -595,14 +670,18 @@ def do_optimization_fused_theta(
                     **{k: carry[k] for k in ("S", "Ymem", "rho", "valid",
                                              "head", "eta")},
                 }
-            X, FC = fused.unpack_host(theta_host)
-            step_idx = it + steps_per_dispatch - 1
-            save_step(d, step_idx, X=X, FC=FC)
-            save_optimizer_state(d, carry, it + steps_per_dispatch)
             now = time.time() - t0
+            step_idx = it + steps_per_dispatch - 1
+            if now - last_ckpt >= ckpt_every_sec:
+                checkpoint(it, theta_host)
+                last_ckpt = now
             for k, v in enumerate(values):
                 f_log.write("%d %.2f %.2f\n" % (it + k, now, float(v)))
             f_log.flush()
+            # the covs.txt hyperparameter row stays per-dispatch (it is the
+            # trajectory record the convergence figures read); only the
+            # .npy/.npz snapshots are throttled
+            FC = fused.unpack_host(theta_host)[1]
             if FC is not None:
                 covf.write("%d %s\n" % (step_idx, FC))
                 covf.flush()
@@ -615,6 +694,11 @@ def do_optimization_fused_theta(
             else:
                 stall = 0
             prev_best = min(prev_best, best)
+        if it:
+            checkpoint(
+                it - steps_per_dispatch,
+                np.asarray(carry["x"], dtype=np.float64),
+            )
     finally:
         f_log.write("optimization finished after %.fs\n" % (time.time() - t0))
         f_log.close()

@@ -80,6 +80,15 @@ def test_build_run_name_stable():
     assert "l-bfgs-b_x" in name
 
 
+def test_build_run_name_default_obs_std():
+    # obs_std defaults to None on the CLI; the run name must resolve it to
+    # the sampler's lscale/10 default instead of crashing on %f-of-None
+    name = build_run_name(
+        dict(ntrain=1000, ntest=500, nblocks=20, lscale=0.06, obs_std=None)
+    )
+    assert name.startswith("1000_1500_20_0.060000_0.006000_")
+
+
 def test_do_run_end_to_end(tmp_path, monkeypatch):
     monkeypatch.setenv("GPRF_EXPERIMENTS", str(tmp_path / "exp"))
     d = str(tmp_path / "run_e2e")
