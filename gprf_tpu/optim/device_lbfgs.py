@@ -256,7 +256,7 @@ def _check_capacity_all(fused, thetas):
 
 def _run_multistart(d, fused, theta0s, dtype, unpack_fn, write_covs,
                     maxsec, max_iters, steps_per_dispatch, ftol,
-                    ckpt_every_sec: float = 10.0):
+                    ckpt_every_sec: float = 10.0, stall_patience: int = 4):
     """Shared multi-start loop: R vmapped replicas, per-replica stall
     tracking (the run ends only when NO replica is still improving),
     divergence-tolerant restarts, and the standard file protocol written
@@ -358,7 +358,7 @@ def _run_multistart(d, fused, theta0s, dtype, unpack_fn, write_covs,
             improved = prev_best - best_per >= ftol * (np.abs(prev_best) + 1e-12)
             if not improved.any():
                 stall += 1
-                if stall >= 2:
+                if stall >= stall_patience:
                     break
             else:
                 stall = 0
@@ -389,6 +389,7 @@ def do_optimization_multistart(
     max_iters: int = 400,
     steps_per_dispatch: int = 20,
     ftol: float = 1e-6,
+    stall_patience: int = 4,
 ):
     """Multi-start driver over a task=x fused loss: optimize all R starts
     on device, log the per-replica objective matrix (``multistart.txt``:
@@ -401,6 +402,7 @@ def do_optimization_multistart(
         d, fused, X0s.reshape(X0s.shape[0], -1), fused.Y.dtype,
         lambda t: (t.reshape(shape), None), False,
         maxsec, max_iters, steps_per_dispatch, ftol,
+        stall_patience=stall_patience,
     )
 
 
@@ -412,6 +414,7 @@ def do_optimization_multistart_theta(
     max_iters: int = 600,
     steps_per_dispatch: int = 20,
     ftol: float = 1e-6,
+    stall_patience: int = 4,
 ):
     """Multi-start driver over a theta-packed fused evaluator (synthetic
     cov/xcov or seismic): all R replicas advance in one vmapped device
@@ -497,6 +500,7 @@ def do_optimization_fused(
     ftol: float = 1e-6,
     resume: bool = False,
     ckpt_every_sec: float = 10.0,
+    stall_patience: int = 4,
 ):
     """Optimization driver over a :class:`~gprf_tpu.model.fused.FusedGridGPRF`
     loss with the reference file protocol (log.txt rows per L-BFGS
@@ -584,7 +588,7 @@ def do_optimization_fused(
             best = float((-values).min())
             if prev_best - best < ftol * (abs(prev_best) + 1e-12):
                 stall += 1  # noise-tolerant: require repeated stalls
-                if stall >= 2:
+                if stall >= stall_patience:
                     break
             else:
                 stall = 0
@@ -609,6 +613,7 @@ def do_optimization_fused_theta(
     ftol: float = 1e-6,
     resume: bool = False,
     ckpt_every_sec: float = 10.0,
+    stall_patience: int = 4,
 ):
     """Device-loop driver over any theta-packed fused evaluator (seismic
     :class:`~gprf_tpu.model.fused_seismic.FusedSeismicGPRF` or synthetic
@@ -689,7 +694,7 @@ def do_optimization_fused_theta(
             best = float((-values).min())
             if prev_best - best < ftol * (abs(prev_best) + 1e-12):
                 stall += 1  # noise-tolerant: require repeated stalls
-                if stall >= 2:
+                if stall >= stall_patience:
                     break
             else:
                 stall = 0
