@@ -49,7 +49,15 @@ def assemble_layout(blocks, B: int, m: int):
     n = blocks.shape[0]
     order = jnp.argsort(blocks, stable=True)
     counts = jnp.bincount(blocks, length=B)
-    starts = jnp.cumsum(counts) - counts
+    # group starts via binary search into the sorted labels rather than
+    # cumsum(counts): XLA lowers the cumsum to a u32 reduce-window prefix
+    # scan that blows the scoped-VMEM limit once B spans multiple sublane
+    # rows (observed at B=900, n=80k: "Scoped allocation with size 19.07M
+    # ... exceeded scoped vmem limit" — an XLA-internal bug by its own
+    # error text).  searchsorted is a fixed log2(n) gather ladder, and for
+    # labels present in `blocks` it returns exactly cumsum(counts)-counts.
+    starts = jnp.searchsorted(blocks[order], jnp.arange(B, dtype=blocks.dtype),
+                              side="left")
     pos = jnp.arange(n) - starts[blocks[order]]
     assignment = (
         jnp.zeros((B, m), dtype=jnp.int32)

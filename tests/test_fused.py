@@ -56,3 +56,33 @@ def test_fused_capacity_growth(rng):
     n = len(X_obs)
     prior = -0.5 * np.sum(r**2) - 0.5 * 2 * n * np.log(2 * np.pi * obs_std**2)
     assert np.isclose(nll, -(ll + prior), rtol=1e-8)
+
+
+def test_assemble_layout_matches_cumsum_formula(rng):
+    """The searchsorted group starts must reproduce cumsum(counts)-counts
+    exactly, including at B > 128 (where the cumsum lowering hit an XLA
+    scoped-VMEM failure on TPU — the reason for the searchsorted form) and
+    with empty and overflowing blocks."""
+    import jax.numpy as jnp
+
+    from gprf_tpu.model.fused import assemble_layout
+
+    for n, B, m in [(500, 9, 80), (4000, 900, 8), (300, 150, 4)]:
+        blocks = jnp.asarray(rng.integers(0, B, size=n), dtype=jnp.int32)
+        assignment, mask, overflow = assemble_layout(blocks, B, m)
+        order = np.argsort(np.asarray(blocks), kind="stable")
+        counts = np.bincount(np.asarray(blocks), minlength=B)
+        starts = np.cumsum(counts) - counts
+        exp = np.zeros((B, m), dtype=np.int32)
+        for b in range(B):
+            take = order[starts[b]:starts[b] + min(counts[b], m)]
+            exp[b, :len(take)] = take
+        np.testing.assert_array_equal(
+            np.asarray(assignment) * np.asarray(mask),
+            exp * (np.arange(m)[None, :] < np.minimum(counts, m)[:, None]),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(mask),
+            np.arange(m)[None, :] < counts[:, None],
+        )
+        assert bool(overflow) == bool(counts.max() > m)
