@@ -714,15 +714,22 @@ def do_optimization_fused_theta(
 
 
 def refine_f64(d, make_fused, x32, it0, iters: int = 60,
-               steps_per_dispatch: int = 10, maxsec: float = 1800):
+               steps_per_dispatch: int = 10, maxsec: float = 1800,
+               backend: str = "cpu"):
     """Float64 refinement phase: rebuild the fused loss at f64 and continue
     the optimization from the f32 solution.
 
     The f32 objective's roundoff floors late-stage convergence at large n
-    (see CLAUDE.md); f64 on TPU is ~100x slower per evaluation but only a
-    few dozen refinement iterations are needed.  ``make_fused(dtype)``
-    builds the fused evaluator at the requested dtype; checkpoints/log rows
-    continue the main run's numbering from ``it0``.
+    (see CLAUDE.md).  The tail runs on the **host CPU backend by default**
+    (``backend="cpu"``): TPU f64 is emulated as f32 pairs (~3 GFLOP/s
+    measured) while the host does native f64, and at the shapes where the
+    f32 floor binds (many small blocks, e.g. Local-80k/900) a CPU
+    obj+grad evaluation is well under a second — so a few dozen
+    refinement iterations cost minutes, not the hours the emulated path
+    took.  ``make_fused(dtype)`` builds the fused evaluator at the
+    requested dtype (its arrays are placed on the refine device via
+    ``jax.default_device``); checkpoints/log rows continue the main run's
+    numbering from ``it0``.
 
     Works for every device task: ``x32`` is the flat optimization vector
     (bare X for task=x, the packed theta for cov/xcov/seismic) and
@@ -733,19 +740,33 @@ def refine_f64(d, make_fused, x32, it0, iters: int = 60,
     import jax
 
     jax.config.update("jax_enable_x64", True)
+    try:
+        dev = jax.devices(backend)[0]
+    except RuntimeError:
+        dev = jax.devices()[0]
+    with jax.default_device(dev):
+        return _refine_f64_body(
+            d, make_fused, x32, it0, iters, steps_per_dispatch, maxsec, dev
+        )
+
+
+def _refine_f64_body(d, make_fused, x32, it0, iters, steps_per_dispatch,
+                     maxsec, dev):
     fused = make_fused(jnp.float64)
     if fused.m > 512:
-        # f64 on TPU is emulated as f32 pairs (~3 GFLOP/s measured) and the
-        # pair-term gathers transpose to whole-[B, m, m] scatter-adds that
-        # exceed scoped VMEM at these widths; see CLAUDE.md for the planned
-        # compensated-arithmetic alternative
+        # pair terms at these widths cost O(E * (2m)^3) in f64 — hours per
+        # refinement phase on the 1-core host, and the TPU-emulated
+        # alternative additionally blows scoped VMEM on the [B, m, m]
+        # scatter-adds; the f64 tail accumulation in the f32 objective is
+        # the supported mitigation at wide m
         print(
             "refine_f64: block width m=%d exceeds the supported 512; "
             "skipping the f64 phase" % fused.m
         )
         return np.asarray(x32)
+    print("refine_f64: running the f64 tail on %s" % (dev,))
     init_fn, run_fn = make_scan_lbfgs_runner(fused.loss_fn(), steps_per_dispatch)
-    carry = init_fn(jnp.asarray(np.asarray(x32, dtype=np.float64)))
+    carry = init_fn(jax.device_put(np.asarray(x32, dtype=np.float64), dev))
     f_log = open(os.path.join(d, "log.txt"), "a")
     covf = open(os.path.join(d, "covs.txt"), "a")
     t0 = time.time()
