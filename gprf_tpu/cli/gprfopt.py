@@ -53,6 +53,7 @@ def do_run(
     gplvm_type="gprf",
     num_inducing=-1,
     init_true=False,
+    init_x="",
     engine="host",
     refine_iters=0,
     multistart=1,
@@ -82,7 +83,18 @@ def do_run(
 
     # task dispatch (reference gprfopt.py:548-574)
     if task == "x":
-        if init_true:
+        if init_x:
+            # continuation workflow (the seismic CLI's --init_x, extended to
+            # the synthetic driver): warm-start from a previous run's
+            # step_%05d_X.npy checkpoint — e.g. init a Local-GP run from a
+            # GPRF solution to escape local-GP basin traps
+            X0 = np.load(init_x)
+            if X0.shape != data.X_obs.shape:
+                raise ValueError(
+                    "--init_x shape %s != expected %s"
+                    % (X0.shape, data.X_obs.shape)
+                )
+        elif init_true:
             X0 = data.SX
             gprf.update_X(X0)
         else:
@@ -304,7 +316,16 @@ def build_run_name(args):
 
 
 def exp_dir(args):
-    d = os.path.join(exp_base_dir(), build_run_name(args))
+    name = build_run_name(args)
+    # continuation runs get their own dir (keyed on the init checkpoint) so
+    # they don't clobber the fresh run's cache — same scheme the seismic CLI
+    # uses (run_seismic.py:218-228 analog)
+    init_x = getattr(args, "init_x", "")
+    if init_x:
+        import hashlib
+
+        name += "_i%s" % hashlib.md5(init_x.encode()).hexdigest()[:8]
+    d = os.path.join(exp_base_dir(), name)
     mkdir_p(d)
     return d
 
@@ -329,6 +350,7 @@ def build_parser():
     parser.add_argument("--parallel", dest="parallel", default=False, action="store_true", help="accepted for reference parity; the TPU path always batches blocks")
     parser.add_argument("--init_seed", dest="init_seed", default=-1, type=int, help="if >=0, randomized init from this seed")
     parser.add_argument("--init_true", dest="init_true", default=False, action="store_true", help="initialize at true X locations")
+    parser.add_argument("--init_x", dest="init_x", default="", type=str, help="initialize X locations from a .npy checkpoint (continuation runs; task=x)")
     parser.add_argument("--noise_var", dest="noise_var", default=0.01, type=float, help="variance of iid noise in synthetic Y")
     parser.add_argument("--gplvm_type", dest="gplvm_type", default="gprf", type=str, help="'gprf', or 'sparse'/'bayesian'/'basic' for the inducing-point GPLVM baseline")
     parser.add_argument("--num_inducing", dest="num_inducing", default=0, type=int, help="number of inducing points for sparse baselines")
@@ -366,6 +388,7 @@ def main(argv=None):
         gplvm_type=args.gplvm_type,
         num_inducing=args.num_inducing,
         init_true=args.init_true,
+        init_x=args.init_x,
         engine=args.engine,
         refine_iters=args.refine_iters,
         multistart=args.multistart,

@@ -170,6 +170,79 @@ def test_do_run_task_cov_with_init_seed(tmp_path, monkeypatch):
     assert os.path.exists(os.path.join(d, "finished"))
 
 
+def test_do_run_init_x_continuation(tmp_path, monkeypatch):
+    """--init_x warm-starts task=x from a saved checkpoint (continuation
+    workflow; used to escape the Local-900 basin trap by initializing a
+    local-GP run from a GPRF solution — docs/RESULTS.md)."""
+    monkeypatch.setenv("GPRF_EXPERIMENTS", str(tmp_path / "exp"))
+    d0 = str(tmp_path / "run_first")
+    os.makedirs(d0)
+    do_run(
+        d0, lscale=0.3, n=70, ntrain=50, nblocks=4, yd=4, seed=1,
+        local_dist=0.01, maxsec=30, task="x", obs_std=0.03, engine="device",
+    )
+    import numpy as _np
+
+    steps = sorted(
+        f for f in os.listdir(d0) if f.startswith("step") and f.endswith("_X.npy")
+    )
+    assert steps
+    ckpt = os.path.join(d0, steps[-1])
+    X_ck = _np.load(ckpt)
+
+    d1 = str(tmp_path / "run_cont")
+    os.makedirs(d1)
+    do_run(
+        d1, lscale=0.3, n=70, ntrain=50, nblocks=4, yd=4, seed=1,
+        local_dist=1.0, maxsec=30, task="x", obs_std=0.03, engine="device",
+        init_x=ckpt,
+    )
+    assert os.path.exists(os.path.join(d1, "results.txt"))
+    # the continuation really started from the checkpoint: its first saved
+    # X must be closer to the warm start than the observed-X cold start is
+    first = _np.load(os.path.join(
+        d1,
+        sorted(f for f in os.listdir(d1)
+               if f.startswith("step") and f.endswith("_X.npy"))[0],
+    ))
+    from gprf_tpu.data.sampled import sample_data
+    from gprf_tpu.partition.grid import grid_centers
+
+    data = sample_data(n=70, ntrain=50, lscale=0.3, obs_std=0.03, yd=4,
+                       seed=1, centers=grid_centers(4), noise_var=0.01,
+                       rpc_blocksize=-1)
+    assert _np.abs(first - X_ck).mean() < _np.abs(first - data.X_obs).mean()
+
+    # a wrong-shape init is rejected loudly
+    bad = str(tmp_path / "bad_init.npy")
+    _np.save(bad, X_ck[:-1])
+    d2 = str(tmp_path / "run_bad")
+    os.makedirs(d2)
+    with pytest.raises(ValueError, match="init_x shape"):
+        do_run(
+            d2, lscale=0.3, n=70, ntrain=50, nblocks=4, yd=4, seed=1,
+            local_dist=1.0, maxsec=30, task="x", obs_std=0.03,
+            engine="device", init_x=bad,
+        )
+
+
+def test_exp_dir_init_x_suffix(tmp_path, monkeypatch):
+    """Continuation runs must not clobber the fresh run's cache dir."""
+    monkeypatch.setenv("GPRF_EXPERIMENTS", str(tmp_path / "exp"))
+    import argparse
+
+    from gprf_tpu.cli.gprfopt import build_parser, exp_dir
+
+    argv = ["--ntrain=50", "--ntest=20", "--nblocks=4", "--lscale=0.3",
+            "--obs_std=0.03", "--task=x"]
+    args_plain = build_parser().parse_args(argv)
+    args_cont = build_parser().parse_args(argv + ["--init_x=/tmp/some_X.npy"])
+    d_plain = exp_dir(args_plain)
+    d_cont = exp_dir(args_cont)
+    assert d_plain != d_cont
+    assert d_cont.startswith(d_plain + "_i")
+
+
 def test_do_run_device_engine_with_f64_refinement(tmp_path, monkeypatch):
     monkeypatch.setenv("GPRF_EXPERIMENTS", str(tmp_path / "exp"))
     d = str(tmp_path / "run_refine")
