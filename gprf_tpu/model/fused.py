@@ -291,6 +291,14 @@ class FusedSyntheticGPRF:
             parts.append(np.log(C0.reshape(-1)) * self.COV_SCALE)
         return np.concatenate(parts)
 
+    @property
+    def ncov(self) -> int:
+        """Length of the packed-cov tail of theta (0 for task=x).  Lets the
+        device-loop drivers fetch just ``theta[-ncov:]`` for the
+        per-dispatch covs.txt row instead of the full parameter vector
+        (which costs ~seconds per dispatch through the tunneled backend)."""
+        return 0 if self.task == "x" else int(np.asarray(self.C0).size)
+
     def unpack_host(self, theta):
         """(X, FC) on host from a flat theta (for checkpointing/analysis)."""
         theta = np.asarray(theta, dtype=np.float64)

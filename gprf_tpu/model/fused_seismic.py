@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from gprf_tpu.kernels.gpcov import GPCov
+from gprf_tpu.model.fused import assemble_layout
 from gprf_tpu.model.objective import GPRFParams, gprf_ll_schur
 from gprf_tpu.partition.pdtree_device import FlatPDTree, assign_blocks_pdtree
 
@@ -101,6 +102,13 @@ class FusedSeismicGPRF:
         if self.task in ("cov", "xcov"):
             parts.append(np.log(np.asarray(C0, dtype=np.float64).reshape(-1)))
         return np.concatenate(parts)
+
+    @property
+    def ncov(self) -> int:
+        """Length of the packed-cov tail of theta (0 for task=x); the
+        seismic cov packing is always (noise_var, sv, ls_horiz, ls_depth).
+        See :meth:`gprf_tpu.model.fused.FusedSyntheticGPRF.ncov`."""
+        return 0 if self.task == "x" else 4
 
     def unpack_host(self, theta):
         """(X, FC) on host from a flat theta (for checkpointing/analysis)."""
@@ -237,16 +245,7 @@ class FusedSeismicGPRF:
             lon_wrapped = (Xw[:, 0] + 22.0) % 360.0 - 22.0
             X2 = jnp.stack([lon_wrapped, Xw[:, 1]], axis=1)
             blocks = assign_blocks_pdtree(X2, tree_arrays, depth)
-            order = jnp.argsort(blocks, stable=True)
-            counts = jnp.bincount(blocks, length=B)
-            starts = jnp.cumsum(counts) - counts
-            pos = jnp.arange(n // 3) - starts[blocks[order]]
-            assignment = (
-                jnp.zeros((B, m), dtype=jnp.int32)
-                .at[blocks[order], pos]
-                .set(order.astype(jnp.int32), mode="drop")
-            )
-            mask = jax.lax.broadcasted_iota(jnp.int32, (B, m), 1) < counts[:, None]
+            assignment, mask, _ = assemble_layout(blocks, B, m)
 
             params = GPRFParams(
                 X=X,

@@ -566,9 +566,10 @@ def _chol_inv_bwd(interpret, res, cts):
 
     W-cotangent -> L-cotangent: d(L^-1) = -L^-1 dL L^-1 gives
     dL += -tril(W^T dW W^T).  Then the standard Cholesky pullback with
-    K^-1 expressed through W: dK = sym(W^T phi(L^T dL) W).  HIGHEST matmul
-    precision is mandatory (custom_vjp rules trace outside the caller's
-    precision context)."""
+    K^-1 expressed through W: dK = sym(W^T phi(L^T dL) W).  An explicit
+    matmul-precision context (>= "high", see _VJP_PRECISION) is mandatory:
+    custom_vjp rules trace outside the caller's precision context and the
+    TPU bf16 default corrupts gradients."""
     L, W = res
     dL, dW = cts
     m = L.shape[-1]
@@ -735,11 +736,12 @@ def _mvn_bwd(interpret, res, g):
     """Analytic symmetrized cotangents, reusing the forward factor:
     dK = g * 0.5 (alpha alpha^T - dy K^-1),  dY = -g * alpha.
 
-    HIGHEST matmul precision is mandatory here: custom_vjp backward rules
-    are traced outside any precision context the caller wrapped around the
-    forward, so without it these solves/einsums run at the TPU bf16
-    default and systematically corrupt gradients (observed 24% deviation,
-    cosine 0.986 against the autodiff reference)."""
+    An explicit matmul-precision context (>= "high", see _VJP_PRECISION)
+    is mandatory here: custom_vjp backward rules are traced outside any
+    precision context the caller wrapped around the forward, so without it
+    these solves/einsums run at the TPU bf16 default and systematically
+    corrupt gradients (observed 24% deviation, cosine 0.986 against the
+    autodiff reference)."""
     L, Ym = res
     dy = Ym.shape[2]
     with jax.default_matmul_precision(_VJP_PRECISION):
@@ -892,6 +894,14 @@ def _mvn_inv_pipeline(interpret: bool):
         dy = Ym.shape[2]
         T = _tile_for(m, for_mvn=True)
         assert T is not None, f"MVN+inv kernel unsupported at m={m}"
+        # the W panel shares the VMEM budget with the residual buffer, so
+        # support depends on dy too — a large dy can drive the panel width
+        # to zero/negative even at small m (callers should gate on
+        # mvn_inv_supported; this is the backstop)
+        assert mvn_inv_supported(m, dy), (
+            f"MVN+inv kernel unsupported at (m={m}, dy={dy}): "
+            f"panel width {_mvn_inv_cols(m, dy)} < 16"
+        )
         nb = (B + T - 1) // T
         padB = nb * T
         Kx = jnp.concatenate(
@@ -958,7 +968,11 @@ def batched_mvn_ll_inv_pallas(Kp, Ym, n_active, interpret=False):
         dK = g/2 (alpha alpha^T - dy K^-1) = g/2 W^T (z z^T - dy I) W,
         alpha = W^T z,  K^-1 = W^T W  (all MXU einsums of the residuals).
     """
-    ll, _, _ = _mvn_inv_pipeline(interpret)(Kp, Ym, n_active)
+    # non-differentiated evaluations don't need the W/Z residuals: the
+    # plain kernel computes the identical ll without the O(m^2 * panels)
+    # substitution sweep (mvn_inv_supported is strictly tighter than
+    # pallas_supported, so every shape reaching here fits the plain kernel)
+    ll, _ = _mvn_forward(Kp, Ym, n_active, interpret=interpret)
     return ll
 
 
@@ -968,9 +982,10 @@ def _mvn_inv_fwd(Kp, Ym, n_active, interpret):
 
 
 def _mvn_inv_bwd(interpret, res, g):
-    """Einsum-only pullback of the saved (W, z) residuals.  HIGHEST matmul
-    precision is mandatory (custom_vjp rules trace outside the caller's
-    precision context — see _mvn_bwd)."""
+    """Einsum-only pullback of the saved (W, z) residuals.  An explicit
+    matmul-precision context (>= "high", see _VJP_PRECISION) is mandatory
+    (custom_vjp rules trace outside the caller's precision context — see
+    _mvn_bwd)."""
     W, Z = res
     dy = Z.shape[2]
     with jax.default_matmul_precision(_VJP_PRECISION):

@@ -245,6 +245,17 @@ def _sanitize_replicas(carry, bad=None):
     return {k: jnp.asarray(v) for k, v in host.items()}, int(bad.sum())
 
 
+def _fc_from_tail(fused, tail, ntheta):
+    """Decode the host-side cov matrix from just the packed-cov tail of
+    theta, via the evaluator's own ``unpack_host`` on a zero-padded dummy
+    vector (the X segment does not influence FC).  Lets the drivers keep
+    the covs.txt trajectory dense without fetching the n-sized parameter
+    vector every dispatch."""
+    full = np.zeros(ntheta, dtype=np.float64)
+    full[ntheta - tail.size:] = tail
+    return fused.unpack_host(full)[1]
+
+
 def _check_capacity_all(fused, thetas):
     """True iff the current padded capacity holds every replica; one
     batched call when the evaluator provides it."""
@@ -272,6 +283,7 @@ def _run_multistart(d, fused, theta0s, dtype, unpack_fn, write_covs,
     (measured ~2.3 s per 86 ms-of-compute dispatch at the flagship)."""
     theta0s = np.asarray(theta0s, dtype=np.float64)
     R = theta0s.shape[0]
+    ntheta = theta0s.shape[1]
     make_aux = getattr(fused, "overflow_fn", None)
     aux_fn = make_aux() if make_aux is not None else None
     init_fn, run_fn = make_multistart_runner(
@@ -280,7 +292,8 @@ def _run_multistart(d, fused, theta0s, dtype, unpack_fn, write_covs,
     carry = init_fn(jnp.asarray(theta0s, dtype=dtype))
     f_log = open(os.path.join(d, "log.txt"), "w")
     f_ms = open(os.path.join(d, "multistart.txt"), "w")
-    covf = open(os.path.join(d, "covs.txt"), "w") if write_covs else None
+    ncov = getattr(fused, "ncov", 0) if write_covs else 0
+    covf = open(os.path.join(d, "covs.txt"), "w") if ncov else None
     t0 = time.time()
     it = 0
     prev_best = np.full((R,), np.inf)
@@ -292,11 +305,7 @@ def _run_multistart(d, fused, theta0s, dtype, unpack_fn, write_covs,
         cur_v = np.asarray(carry["v"])
         best_r = int(np.argmin(cur_v))
         X, FC = unpack_fn(thetas[best_r])
-        step_idx = it_base + steps_per_dispatch - 1
-        save_step(d, step_idx, X=X, FC=FC)
-        if covf is not None and FC is not None:
-            covf.write("%d %s\n" % (step_idx, FC))
-            covf.flush()
+        save_step(d, it_base + steps_per_dispatch - 1, X=X, FC=FC)
         return thetas
 
     try:
@@ -344,6 +353,17 @@ def _run_multistart(d, fused, theta0s, dtype, unpack_fn, write_covs,
                 f_log.write("%d %.2f %.2f\n" % (it + k, now, float(-vals[best_r, k])))
             f_ms.flush()
             f_log.flush()
+            # dense covs.txt trajectory (matching the single-start theta
+            # driver) from just the winner's ncov-sized theta tail
+            if covf is not None:
+                tail = np.asarray(
+                    carry["x_prev"][best_r, ntheta - ncov:], dtype=np.float64
+                )
+                FC = _fc_from_tail(fused, tail, ntheta)
+                covf.write(
+                    "%d %s\n" % (it + steps_per_dispatch - 1, FC)
+                )
+                covf.flush()
             if now - last_ckpt >= ckpt_every_sec:
                 checkpoint(it)
                 last_ckpt = now
@@ -630,6 +650,8 @@ def do_optimization_fused_theta(
     init_fn, run_fn = make_scan_lbfgs_runner(
         fused.loss_fn(), steps_per_dispatch, aux_fn=aux_fn
     )
+    ncov = getattr(fused, "ncov", 0)
+    ntheta = int(np.asarray(theta0).size)
 
     it = 0
     carry = None
@@ -639,7 +661,13 @@ def do_optimization_fused_theta(
         carry = init_fn(jnp.asarray(np.asarray(theta0), dtype=fused.dtype))
         it = 0
     f_log = open(os.path.join(d, "log.txt"), "a" if (resume and it) else "w")
-    covf = open(os.path.join(d, "covs.txt"), "a" if (resume and it) else "w")
+    # no covs.txt for task=x theta evaluators (FC is None there; the file
+    # protocol writes covs.txt only on cov-bearing tasks)
+    covf = (
+        open(os.path.join(d, "covs.txt"), "a" if (resume and it) else "w")
+        if ncov
+        else None
+    )
     t0 = time.time()
     prev_best = np.inf
     stall = 0
@@ -657,11 +685,22 @@ def do_optimization_fused_theta(
             values = -np.asarray(outs[0])
             if not np.all(np.isfinite(values)):
                 raise FloatingPointError("optimizer diverged to non-finite objective")
-            theta_host = np.asarray(carry["x"], dtype=np.float64)
+            # per-dispatch host traffic is kept small: the n-sized theta
+            # fetch happens only when something needs it (checkpoint
+            # cadence, capacity growth, legacy host capacity check) — see
+            # _run_multistart for the measured tunnel cost
+            theta_host = None
+
+            def fetch():
+                nonlocal theta_host
+                if theta_host is None:
+                    theta_host = np.asarray(carry["x"], dtype=np.float64)
+                return theta_host
+
             overflowed = (
                 bool(np.asarray(outs[3]))
                 if aux_fn is not None
-                else not fused.check_capacity(theta_host)
+                else not fused.check_capacity(fetch())
             )
             if overflowed:
                 fused.grow_capacity()
@@ -669,7 +708,7 @@ def do_optimization_fused_theta(
                 init_fn, run_fn = make_scan_lbfgs_runner(
                     fused.loss_fn(), steps_per_dispatch, aux_fn=aux_fn
                 )
-                fresh = init_fn(jnp.asarray(theta_host, dtype=fused.dtype))
+                fresh = init_fn(jnp.asarray(fetch(), dtype=fused.dtype))
                 carry = {
                     **fresh,
                     **{k: carry[k] for k in ("S", "Ymem", "rho", "valid",
@@ -677,17 +716,25 @@ def do_optimization_fused_theta(
                 }
             now = time.time() - t0
             step_idx = it + steps_per_dispatch - 1
+            FC = None
             if now - last_ckpt >= ckpt_every_sec:
-                checkpoint(it, theta_host)
+                FC = checkpoint(it, fetch())
                 last_ckpt = now
             for k, v in enumerate(values):
                 f_log.write("%d %.2f %.2f\n" % (it + k, now, float(v)))
             f_log.flush()
             # the covs.txt hyperparameter row stays per-dispatch (it is the
-            # trajectory record the convergence figures read); only the
-            # .npy/.npz snapshots are throttled
-            FC = fused.unpack_host(theta_host)[1]
-            if FC is not None:
+            # trajectory record the convergence figures read); off-cadence
+            # dispatches decode it from just the ncov-sized theta tail
+            if covf is not None:
+                if FC is None:
+                    if theta_host is not None:
+                        FC = fused.unpack_host(theta_host)[1]
+                    else:
+                        tail = np.asarray(
+                            carry["x"][ntheta - ncov:], dtype=np.float64
+                        )
+                        FC = _fc_from_tail(fused, tail, ntheta)
                 covf.write("%d %s\n" % (step_idx, FC))
                 covf.flush()
             it += steps_per_dispatch
@@ -707,7 +754,8 @@ def do_optimization_fused_theta(
     finally:
         f_log.write("optimization finished after %.fs\n" % (time.time() - t0))
         f_log.close()
-        covf.close()
+        if covf is not None:
+            covf.close()
         with open(os.path.join(d, "finished"), "w") as f:
             f.write("")
     return np.asarray(carry["x"])
@@ -768,7 +816,9 @@ def _refine_f64_body(d, make_fused, x32, it0, iters, steps_per_dispatch,
     init_fn, run_fn = make_scan_lbfgs_runner(fused.loss_fn(), steps_per_dispatch)
     carry = init_fn(jax.device_put(np.asarray(x32, dtype=np.float64), dev))
     f_log = open(os.path.join(d, "log.txt"), "a")
-    covf = open(os.path.join(d, "covs.txt"), "a")
+    # opened lazily on the first cov row: a task=x run must not grow a
+    # spurious empty covs.txt from its refinement tail
+    covf = None
     t0 = time.time()
     it = it0
     prev_best = np.inf
@@ -782,6 +832,8 @@ def _refine_f64_body(d, make_fused, x32, it0, iters, steps_per_dispatch,
             X, FC = fused.unpack_host(x_host)
             save_step(d, step_idx, X=X, FC=FC)
             if FC is not None:
+                if covf is None:
+                    covf = open(os.path.join(d, "covs.txt"), "a")
                 covf.write("%d %s\n" % (step_idx, FC))
                 covf.flush()
             now = time.time() - t0
@@ -800,5 +852,6 @@ def _refine_f64_body(d, make_fused, x32, it0, iters, steps_per_dispatch,
     finally:
         f_log.write("f64 refinement finished after %.fs\n" % (time.time() - t0))
         f_log.close()
-        covf.close()
+        if covf is not None:
+            covf.close()
     return np.asarray(carry["x"])

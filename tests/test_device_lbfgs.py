@@ -223,6 +223,14 @@ def test_multistart_theta_driver(rng, tmp_path):
     assert os.path.exists(os.path.join(d, "covs.txt"))
     X, FC = fused.unpack_host(best_t)
     assert X.shape == (n, 2) and FC.shape == (1, 4)
+    # the hyperparameter trajectory stays dense: one covs.txt row per
+    # dispatch (12 iters / 6 per dispatch = 2 rows), matching the
+    # single-start theta driver — not throttled to the checkpoint cadence
+    with open(os.path.join(d, "covs.txt")) as f:
+        rows = [line for line in f if line.strip()]
+    assert len(rows) == 2
+    # each row decodes from the theta tail: step index then the FC matrix
+    assert rows[0].split()[0] == "5" and rows[1].split()[0] == "11"
 
 
 def test_multistart_sanitize_restarts_diverged_replica(rng):
@@ -293,3 +301,51 @@ def test_scan_runner_aux_fn_surfaces_flag(rng):
     carry_b, outs_b = run_b(carry_b)
     flags = np.asarray(outs_b[3])
     assert flags.shape == (2,) and flags[0]
+
+
+def test_theta_driver_covs_protocol(rng, tmp_path):
+    """The single-start theta driver writes one covs.txt row per dispatch
+    (decoded from only the ncov-sized theta tail off-cadence), and writes
+    NO covs.txt at all for a task=x evaluator."""
+    from gprf_tpu.model.fused import FusedSyntheticGPRF
+    from gprf_tpu.optim.device_lbfgs import (
+        _fc_from_tail,
+        do_optimization_fused_theta,
+    )
+
+    n = 60
+    SX = rng.uniform(size=(n, 2))
+    X_obs = SX + rng.standard_normal(SX.shape) * 0.05
+    Y = rng.standard_normal((n, 4))
+    b = Blocker(grid_centers(4))
+    cov = GPCov.create([1.0], [0.3, 0.3])
+
+    fused = FusedSyntheticGPRF(
+        X_obs, Y, b.neighbors(), X_obs, 0.05, cov, 0.01,
+        task="xcov", C0=np.array([[0.3]]), centers=np.asarray(b.block_centers),
+    )
+    assert fused.ncov == 1
+    theta0 = fused.theta0()
+    # the tail-only decode matches the full unpack
+    np.testing.assert_allclose(
+        _fc_from_tail(fused, theta0[-1:], theta0.size),
+        fused.unpack_host(theta0)[1],
+    )
+    d = str(tmp_path / "xcov")
+    os.makedirs(d)
+    do_optimization_fused_theta(d, fused, theta0, max_iters=12,
+                                steps_per_dispatch=6)
+    with open(os.path.join(d, "covs.txt")) as f:
+        rows = [line for line in f if line.strip()]
+    assert [r.split()[0] for r in rows] == ["5", "11"]
+
+    fused_x = FusedSyntheticGPRF(
+        X_obs, Y, b.neighbors(), X_obs, 0.05, cov, 0.01,
+        task="x", C0=None, centers=np.asarray(b.block_centers),
+    )
+    assert fused_x.ncov == 0
+    d2 = str(tmp_path / "x")
+    os.makedirs(d2)
+    do_optimization_fused_theta(d2, fused_x, X_obs.ravel(), max_iters=6,
+                                steps_per_dispatch=6)
+    assert not os.path.exists(os.path.join(d2, "covs.txt"))
