@@ -12,6 +12,7 @@ Prints ONE JSON line:
 """
 
 import json
+import os
 import sys
 import time
 
@@ -84,6 +85,29 @@ def build_problem(n=10000, nblocks=100, yd=50, lscale=0.06, obs_std=0.02, seed=0
 
 
 def main():
+    # the TPU tunnel occasionally drops for hours, and the axon plugin then
+    # either raises UNAVAILABLE or HANGS in backend init (both observed) —
+    # a bench run that dies leaves no artifact at all.  Probe availability
+    # in a SUBPROCESS with a timeout (an in-process attempt can't be
+    # interrupted safely), and fall back to the CPU backend with the metric
+    # name tagged (the number is then NOT the TPU headline).
+    backend_tag = ""
+    import subprocess
+
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=float(os.environ.get("GPRF_BENCH_PROBE_SEC", "240")),
+            check=True,
+            capture_output=True,
+        )
+    except (subprocess.TimeoutExpired, subprocess.CalledProcessError) as e:
+        sys.stderr.write(
+            "default backend unavailable (%s); CPU fallback\n" % type(e).__name__
+        )
+        jax.config.update("jax_platforms", "cpu")
+        backend_tag = "_cpu_fallback"
+
     from gprf_tpu.model.fused import FusedGridGPRF
     from gprf_tpu.partition.grid import Blocker, grid_centers
 
@@ -151,7 +175,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "gprf_obj_grad_eval_n10k_100blocks",
+                "metric": "gprf_obj_grad_eval_n10k_100blocks" + backend_tag,
                 "value": round(sec_per_eval * 1e3, 3),
                 "unit": "ms/eval",
                 "vs_baseline": round(BASELINE_SEC_PER_EVAL / sec_per_eval, 2),
