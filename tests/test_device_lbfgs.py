@@ -349,3 +349,35 @@ def test_theta_driver_covs_protocol(rng, tmp_path):
     do_optimization_fused_theta(d2, fused_x, X_obs.ravel(), max_iters=6,
                                 steps_per_dispatch=6)
     assert not os.path.exists(os.path.join(d2, "covs.txt"))
+
+
+def test_multistart_capacity_growth(tmp_path, rng):
+    """Capacity overflow mid-multistart grows m for ALL replicas, keeps the
+    run alive, and still returns the best replica (the in-program overflow
+    flag + curvature-preserving carry merge path)."""
+    from gprf_tpu.optim.device_lbfgs import do_optimization_multistart
+
+    n = 80
+    SX = rng.uniform(size=(n, 2))
+    cov = GPCov.create([1.0], [0.15, 0.15])
+    Y = rng.normal(size=(n, 4))
+    obs_std = 0.02
+    # prior mean squashed into a corner (as in the single-start growth
+    # test): the optimizer pulls points across block boundaries and
+    # overflows the initial per-block capacity
+    X0 = SX
+    X_target = SX * 0.2
+    b = Blocker(grid_centers(4))
+    fused = FusedGridGPRF(
+        X0, Y, b.block_centers, b.neighbors(), X_target, obs_std, cov, 0.01
+    )
+    m0 = fused.m
+    X0s = np.stack([X0, X0 + rng.standard_normal(X0.shape) * 0.01])
+    d = str(tmp_path / "msgrow")
+    os.makedirs(d)
+    best_x, best_v, final_v = do_optimization_multistart(
+        d, fused, X0s, max_iters=45, steps_per_dispatch=15
+    )
+    assert fused.m > m0
+    assert np.isfinite(best_v) and best_v == final_v.min()
+    assert os.path.exists(os.path.join(d, "finished"))
