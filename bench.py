@@ -91,16 +91,22 @@ def main():
     # in a SUBPROCESS with a timeout (an in-process attempt can't be
     # interrupted safely), and fall back to the CPU backend with the metric
     # name tagged (the number is then NOT the TPU headline).
+    # GPRF_BENCH_PROBE_SEC=0 skips the probe (trust the default backend and
+    # save the subprocess's own device-init cost); the generous default
+    # covers slow-but-healthy session establishment — a timeout must mean
+    # the tunnel is really gone, because the fallback mislabels the headline
     backend_tag = ""
+    probe_sec = float(os.environ.get("GPRF_BENCH_PROBE_SEC", "480"))
     import subprocess
 
     try:
-        subprocess.run(
-            [sys.executable, "-c", "import jax; jax.devices()"],
-            timeout=float(os.environ.get("GPRF_BENCH_PROBE_SEC", "240")),
-            check=True,
-            capture_output=True,
-        )
+        if probe_sec > 0:
+            subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=probe_sec,
+                check=True,
+                capture_output=True,
+            )
     except (subprocess.TimeoutExpired, subprocess.CalledProcessError) as e:
         sys.stderr.write(
             "default backend unavailable (%s); CPU fallback\n" % type(e).__name__

@@ -81,19 +81,25 @@ def do_run(
     )
     gprf = data.build_gprf(local_dist=local_dist)
 
+    # continuation workflow (the seismic CLI's --init_x applied before task
+    # dispatch, run_seismic.py:180-182, extended to the synthetic driver):
+    # warm-start X from a previous run's step_%05d_X.npy checkpoint — e.g.
+    # init a Local-GP run from a GPRF solution to escape basin traps
+    X_init = None
+    if init_x:
+        if task == "cov":
+            raise ValueError("--init_x has no effect on task=cov (X is fixed at the true latents)")
+        X_init = np.load(init_x)
+        if X_init.shape != data.X_obs.shape:
+            raise ValueError(
+                "--init_x shape %s != expected %s"
+                % (X_init.shape, data.X_obs.shape)
+            )
+
     # task dispatch (reference gprfopt.py:548-574)
     if task == "x":
-        if init_x:
-            # continuation workflow (the seismic CLI's --init_x, extended to
-            # the synthetic driver): warm-start from a previous run's
-            # step_%05d_X.npy checkpoint — e.g. init a Local-GP run from a
-            # GPRF solution to escape local-GP basin traps
-            X0 = np.load(init_x)
-            if X0.shape != data.X_obs.shape:
-                raise ValueError(
-                    "--init_x shape %s != expected %s"
-                    % (X0.shape, data.X_obs.shape)
-                )
+        if X_init is not None:
+            X0 = X_init
         elif init_true:
             X0 = data.SX
             gprf.update_X(X0)
@@ -109,7 +115,7 @@ def do_run(
         else:
             C0 = np.array((0.01, 1.0, 0.05, 0.05)).reshape(1, -1)
     elif task == "xcov":
-        X0 = data.X_obs
+        X0 = X_init if X_init is not None else data.X_obs
         if init_seed >= 0:
             np.random.seed(init_seed)
             C0 = np.exp(np.random.randn(1, 1) - 1)

@@ -100,7 +100,15 @@ class FusedSeismicGPRF:
             Xs[:, 2] /= self.depth_scale
             parts.append(Xs.reshape(-1))
         if self.task in ("cov", "xcov"):
-            parts.append(np.log(np.asarray(C0, dtype=np.float64).reshape(-1)))
+            c = np.log(np.asarray(C0, dtype=np.float64).reshape(-1))
+            # the loss and ncov both assume the 4-slot seismic packing
+            # (noise_var, sv, ls_horiz, ls_depth) — an --init_cov file of any
+            # other length would silently mis-slice the theta tail
+            if c.size != self.ncov:
+                raise ValueError(
+                    "seismic C0 must pack %d params, got %d" % (self.ncov, c.size)
+                )
+            parts.append(c)
         return np.concatenate(parts)
 
     @property

@@ -968,11 +968,12 @@ def batched_mvn_ll_inv_pallas(Kp, Ym, n_active, interpret=False):
         dK = g/2 (alpha alpha^T - dy K^-1) = g/2 W^T (z z^T - dy I) W,
         alpha = W^T z,  K^-1 = W^T W  (all MXU einsums of the residuals).
     """
-    # non-differentiated evaluations don't need the W/Z residuals: the
-    # plain kernel computes the identical ll without the O(m^2 * panels)
-    # substitution sweep (mvn_inv_supported is strictly tighter than
-    # pallas_supported, so every shape reaching here fits the plain kernel)
-    ll, _ = _mvn_forward(Kp, Ym, n_active, interpret=interpret)
+    # the primal deliberately runs the SAME fused kernel as _mvn_inv_fwd
+    # (discarding W/Z) rather than the cheaper plain-MVN kernel: the ll
+    # parity tests and scripts/check_mvninv_parity.py call this without
+    # grad, and routing the primal elsewhere would leave the fused
+    # kernel's ll asserted nowhere while value_and_grad still returned it
+    ll, _, _ = _mvn_inv_pipeline(interpret)(Kp, Ym, n_active)
     return ll
 
 

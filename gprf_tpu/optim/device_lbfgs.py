@@ -716,26 +716,24 @@ def do_optimization_fused_theta(
                 }
             now = time.time() - t0
             step_idx = it + steps_per_dispatch - 1
-            FC = None
             if now - last_ckpt >= ckpt_every_sec:
-                FC = checkpoint(it, fetch())
+                checkpoint(it, fetch())
                 last_ckpt = now
             for k, v in enumerate(values):
                 f_log.write("%d %.2f %.2f\n" % (it + k, now, float(v)))
             f_log.flush()
             # the covs.txt hyperparameter row stays per-dispatch (it is the
-            # trajectory record the convergence figures read); off-cadence
-            # dispatches decode it from just the ncov-sized theta tail
+            # trajectory record the convergence figures read), decoded from
+            # just the ncov-sized tail of the last EVALUATED point (x_prev —
+            # carry["x"] is the next, never-evaluated proposal) so the row
+            # pairs with the logged objective, as in _run_multistart
             if covf is not None:
-                if FC is None:
-                    if theta_host is not None:
-                        FC = fused.unpack_host(theta_host)[1]
-                    else:
-                        tail = np.asarray(
-                            carry["x"][ntheta - ncov:], dtype=np.float64
-                        )
-                        FC = _fc_from_tail(fused, tail, ntheta)
-                covf.write("%d %s\n" % (step_idx, FC))
+                tail = np.asarray(
+                    carry["x_prev"][ntheta - ncov:], dtype=np.float64
+                )
+                covf.write(
+                    "%d %s\n" % (step_idx, _fc_from_tail(fused, tail, ntheta))
+                )
                 covf.flush()
             it += steps_per_dispatch
             best = float((-values).min())

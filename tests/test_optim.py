@@ -286,3 +286,55 @@ def test_do_run_device_engine_xcov_with_f64_refinement(tmp_path, monkeypatch):
     assert covs
     FC = _np.load(os.path.join(d, covs[-1]))
     assert FC.shape == (1, 4) and _np.all(_np.isfinite(FC))
+
+
+def test_init_x_xcov_and_cov_semantics(tmp_path, monkeypatch):
+    """--init_x warm-starts the X segment of task=xcov (applied before task
+    dispatch, like the seismic CLI) and is rejected for task=cov where X is
+    not optimized."""
+    import numpy as _np
+
+    monkeypatch.setenv("GPRF_EXPERIMENTS", str(tmp_path / "exp"))
+    # a deterministic fake checkpoint: the observed X shifted by a constant
+    from gprf_tpu.data.sampled import sample_data
+    from gprf_tpu.partition.grid import grid_centers
+
+    data = sample_data(n=60, ntrain=45, lscale=0.3, obs_std=0.03, yd=4,
+                       seed=1, centers=grid_centers(4), noise_var=0.01,
+                       rpc_blocksize=-1)
+    ckpt = str(tmp_path / "warm_X.npy")
+    _np.save(ckpt, data.X_obs + 0.015)
+
+    # capture the theta handed to the optimizer: the X segment must be the
+    # warm checkpoint, not the observed locations (the bug this guards:
+    # init_x consulted only in the task=="x" branch)
+    import gprf_tpu.optim.device_lbfgs as dl
+
+    seen = {}
+    real = dl.do_optimization_fused_theta
+
+    def spy(d_, fused_, theta0_, **kw):
+        seen["theta0"] = _np.asarray(theta0_)
+        return real(d_, fused_, theta0_, **kw)
+
+    monkeypatch.setattr(dl, "do_optimization_fused_theta", spy)
+    d = str(tmp_path / "run_xcov_cont")
+    os.makedirs(d)
+    do_run(
+        d, lscale=0.3, n=60, ntrain=45, nblocks=4, yd=4, seed=1,
+        local_dist=0.01, maxsec=25, task="xcov", obs_std=0.03,
+        engine="device", init_x=ckpt, max_iters=6,
+    )
+    nflat = data.X_obs.size
+    _np.testing.assert_allclose(
+        seen["theta0"][:nflat].reshape(data.X_obs.shape), data.X_obs + 0.015
+    )
+
+    d2 = str(tmp_path / "run_cov_bad")
+    os.makedirs(d2)
+    with pytest.raises(ValueError, match="task=cov"):
+        do_run(
+            d2, lscale=0.3, n=60, ntrain=45, nblocks=4, yd=4, seed=1,
+            local_dist=0.01, maxsec=25, task="cov", obs_std=0.03,
+            init_x=ckpt,
+        )
