@@ -30,7 +30,6 @@ kernels stay the default.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 

@@ -18,7 +18,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from gprf_tpu.partition.pdtree import PDTree, _Inner, _Leaf
+from gprf_tpu.partition.pdtree import PDTree, _Leaf
 
 
 class FlatPDTree:
