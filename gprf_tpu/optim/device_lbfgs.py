@@ -782,6 +782,16 @@ def refine_f64(d, make_fused, x32, it0, iters: int = 60,
     checkpointing goes through ``fused.unpack_host`` so cov checkpoints and
     ``covs.txt`` rows continue for theta tasks (reference task dispatch:
     ``gprfopt.py:548-574``).
+
+    Wide blocks (m > 512, e.g. the 80k/100-block config at m=872) are
+    skipped by default — f64 pair terms cost O(E·(2m)³) and take minutes
+    per evaluation on the 1-core host.  ``GPRF_REFINE_MAX_M`` raises the
+    cap for runs that accept the wall-clock cost (the f32 objective floor
+    at n=80k binds ~1e-4 above the reference's f64 optimum, so a slow f64
+    tail can still be the cheapest way to close the last QoR gap);
+    ``GPRF_REFINE_MAXSEC`` overrides the phase budget, and wide-m runs
+    drop to 2 optimizer steps per dispatch so the budget is enforced at a
+    usable cadence.
     """
     import jax
 
@@ -790,6 +800,7 @@ def refine_f64(d, make_fused, x32, it0, iters: int = 60,
         dev = jax.devices(backend)[0]
     except RuntimeError:
         dev = jax.devices()[0]
+    maxsec = float(os.environ.get("GPRF_REFINE_MAXSEC", maxsec))
     with jax.default_device(dev):
         return _refine_f64_body(
             d, make_fused, x32, it0, iters, steps_per_dispatch, maxsec, dev
@@ -799,17 +810,24 @@ def refine_f64(d, make_fused, x32, it0, iters: int = 60,
 def _refine_f64_body(d, make_fused, x32, it0, iters, steps_per_dispatch,
                      maxsec, dev):
     fused = make_fused(jnp.float64)
-    if fused.m > 512:
+    max_m = int(os.environ.get("GPRF_REFINE_MAX_M", 512))
+    if fused.m > max_m:
         # pair terms at these widths cost O(E * (2m)^3) in f64 — hours per
         # refinement phase on the 1-core host, and the TPU-emulated
         # alternative additionally blows scoped VMEM on the [B, m, m]
         # scatter-adds; the f64 tail accumulation in the f32 objective is
-        # the supported mitigation at wide m
+        # the supported mitigation at wide m.  GPRF_REFINE_MAX_M opts in
+        # anyway when the wall-clock cost is acceptable.
         print(
-            "refine_f64: block width m=%d exceeds the supported 512; "
-            "skipping the f64 phase" % fused.m
+            "refine_f64: block width m=%d exceeds the cap %d; "
+            "skipping the f64 phase (raise GPRF_REFINE_MAX_M to force)"
+            % (fused.m, max_m)
         )
         return np.asarray(x32)
+    if fused.m > 512:
+        # minutes per evaluation: check the wall-clock budget (and write
+        # checkpoints) every couple of steps instead of every ten
+        steps_per_dispatch = min(steps_per_dispatch, 2)
     print("refine_f64: running the f64 tail on %s" % (dev,))
     init_fn, run_fn = make_scan_lbfgs_runner(fused.loss_fn(), steps_per_dispatch)
     carry = init_fn(jax.device_put(np.asarray(x32, dtype=np.float64), dev))

@@ -288,6 +288,27 @@ def test_do_run_device_engine_xcov_with_f64_refinement(tmp_path, monkeypatch):
     assert FC.shape == (1, 4) and _np.all(_np.isfinite(FC))
 
 
+def test_refine_f64_width_cap_env(tmp_path, monkeypatch):
+    """GPRF_REFINE_MAX_M gates the f64 tail on block width: below the cap
+    the phase is skipped (x returned unchanged, no refinement log rows);
+    the default 512 admits narrow blocks.  The knob exists so wide-m runs
+    (m>512, minutes per f64 eval on the host) can opt in deliberately."""
+    monkeypatch.setenv("GPRF_EXPERIMENTS", str(tmp_path / "exp"))
+    monkeypatch.setenv("GPRF_REFINE_MAX_M", "2")
+    d = str(tmp_path / "run_refine_capped")
+    os.makedirs(d)
+    do_run(
+        d, lscale=0.3, n=70, ntrain=50, nblocks=4, yd=4, seed=1,
+        local_dist=0.01, maxsec=30, task="x", obs_std=0.03,
+        engine="device", refine_iters=10,
+    )
+    with open(os.path.join(d, "log.txt")) as f:
+        log = f.read()
+    # the f32 loop ran but the capped refinement did not
+    assert "optimization finished" in log
+    assert "f64 refinement finished" not in log
+
+
 def test_init_x_xcov_and_cov_semantics(tmp_path, monkeypatch):
     """--init_x warm-starts the X segment of task=xcov (applied before task
     dispatch, like the seismic CLI) and is rejected for task=cov where X is
