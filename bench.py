@@ -101,7 +101,7 @@ def main():
     import subprocess
 
     if not os.environ.get("_GPRF_BENCH_CHILD"):
-        maxsec = float(os.environ.get("GPRF_BENCH_MAXSEC", "2100"))
+        maxsec = float(os.environ.get("GPRF_BENCH_MAXSEC", "3000"))
         if maxsec > 0:
             env = dict(os.environ, _GPRF_BENCH_CHILD="1")
             try:
@@ -128,22 +128,49 @@ def main():
         backend_tag = "_cpu_fallback"
         probe_sec = 0.0
     else:
-        probe_sec = float(os.environ.get("GPRF_BENCH_PROBE_SEC", "480"))
+        probe_sec = float(os.environ.get("GPRF_BENCH_PROBE_SEC", "300"))
 
-    try:
-        if probe_sec > 0:
-            subprocess.run(
-                [sys.executable, "-c", "import jax; jax.devices()"],
-                timeout=probe_sec,
-                check=True,
-                capture_output=True,
-            )
-    except (subprocess.TimeoutExpired, subprocess.CalledProcessError) as e:
-        sys.stderr.write(
-            "default backend unavailable (%s); CPU fallback\n" % type(e).__name__
-        )
-        jax.config.update("jax_platforms", "cpu")
-        backend_tag = "_cpu_fallback"
+    if probe_sec > 0:
+        # Poll the tunnel for a bounded window before giving up: a transient
+        # outage at capture time cost round 3 its on-chip artifact.  Each
+        # probe runs devices()+a tiny computation in a subprocess (first
+        # touch costs ~2-3 min of session establishment, hence the generous
+        # per-probe timeout); failures back off and retry until the window
+        # (GPRF_BENCH_PROBE_WINDOW, default 15 min) is exhausted.
+        window = float(os.environ.get("GPRF_BENCH_PROBE_WINDOW", "900"))
+        deadline = time.time() + window
+        backoff = 30.0
+        while True:
+            try:
+                subprocess.run(
+                    [
+                        sys.executable,
+                        "-c",
+                        "import jax, jax.numpy as jnp; jax.devices(); "
+                        "jax.block_until_ready(jnp.ones((8, 8)) @ jnp.ones((8, 8)))",
+                    ],
+                    timeout=probe_sec,
+                    check=True,
+                    capture_output=True,
+                )
+                break
+            except (subprocess.TimeoutExpired, subprocess.CalledProcessError) as e:
+                remaining = deadline - time.time()
+                if remaining <= 0:
+                    sys.stderr.write(
+                        "default backend unavailable (%s) after full probe "
+                        "window; CPU fallback\n" % type(e).__name__
+                    )
+                    jax.config.update("jax_platforms", "cpu")
+                    backend_tag = "_cpu_fallback"
+                    break
+                sys.stderr.write(
+                    "backend probe failed (%s); retrying in %.0fs "
+                    "(%.0fs left in window)\n"
+                    % (type(e).__name__, min(backoff, remaining), remaining)
+                )
+                time.sleep(min(backoff, remaining))
+                backoff = min(backoff * 2, 240.0)
 
     from gprf_tpu.model.fused import FusedGridGPRF
     from gprf_tpu.partition.grid import Blocker, grid_centers
@@ -221,7 +248,7 @@ def main():
         # not the headline: the TPU tunnel was unreachable at bench time
         record["note"] = (
             "CPU-backend fallback (TPU tunnel down); last on-chip headline "
-            "3.83-3.98 ms/eval = ~1870x (docs/RESULTS.md, docs/runs/)"
+            "3.78 ms/eval = ~1930x (docs/RESULTS.md, docs/runs/)"
         )
     print(json.dumps(record))
 

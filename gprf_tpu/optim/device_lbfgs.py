@@ -162,8 +162,16 @@ def make_scan_lbfgs_runner(loss_fn, num_steps: int, memory_size: int = 10,
         carry, traj = jax.lax.scan(step, carry, None, length=num_steps)
         if aux_fn is not None:
             # check the last evaluated point AND the pending proposal (the
-            # first point the next dispatch will evaluate)
-            return carry, traj + (aux_fn(carry["x_prev"]) | aux_fn(carry["x"]),)
+            # first point the next dispatch will evaluate).  A non-finite
+            # point is masked out: NaN coordinates route every point into
+            # one block (NaN comparisons are false), which would raise a
+            # spurious overflow — a permanent capacity grow + cold
+            # recompile — for a replica the driver is about to
+            # sanitize/abort anyway.
+            def masked(pt):
+                return aux_fn(pt) & jnp.isfinite(pt).all()
+
+            return carry, traj + (masked(carry["x_prev"]) | masked(carry["x"]),)
         return carry, traj
 
     return init_fn, run_fn
@@ -318,9 +326,11 @@ def _run_multistart(d, fused, theta0s, dtype, unpack_fn, write_covs,
             if n_restarted:
                 print("multistart: restarted %d diverged replica(s)" % n_restarted)
             # capacity: the in-program overflow flag (aux_fn) replaces the
-            # per-dispatch host round trip when the evaluator provides it
+            # per-dispatch host round trip when the evaluator provides it.
+            # Diverged replicas are excluded — they were just reset to their
+            # last finite point, whose capacity is re-checked next dispatch.
             overflowed = (
-                bool(np.asarray(outs[3]).any())
+                bool((np.asarray(outs[3]) & ~bad).any())
                 if aux_fn is not None
                 else not _check_capacity_all(
                     fused, np.asarray(carry["x_prev"], dtype=np.float64)
@@ -489,6 +499,31 @@ def make_lbfgs_runner(loss_fn, num_steps: int, memory_size: int = 10,
     return init_fn, run_fn
 
 
+def _truncate_log_rows(path, it0):
+    """Drop rows with step index >= ``it0`` (and any trailer lines) from an
+    append-mode log so a resumed run re-appends a monotone trajectory.
+
+    Optimizer-state snapshots ride a wall-clock checkpoint cadence while
+    log.txt/covs.txt rows are written every dispatch, so after a crash the
+    saved state can lag the logs by up to ``ckpt_every_sec``; the resumed
+    run re-executes those iterations and would otherwise duplicate their
+    step indices in the log files downstream parsers read."""
+    if not os.path.exists(path):
+        return
+    keep = []
+    with open(path) as f:
+        for line in f:
+            parts = line.split(None, 1)
+            try:
+                step = int(parts[0])
+            except (ValueError, IndexError):
+                continue
+            if step < it0:
+                keep.append(line)
+    with open(path, "w") as f:
+        f.writelines(keep)
+
+
 def save_optimizer_state(d, carry, it: int):
     """Checkpoint the full scan-L-BFGS carry (point, gradient, curvature
     memory) so a run resumes mid-optimization with identical trajectory —
@@ -550,6 +585,10 @@ def do_optimization_fused(
     if carry is None:
         carry = init_fn(jnp.asarray(np.asarray(X0).reshape(-1), dtype=fused.Y.dtype))
         it = 0
+    if resume and it:
+        # the state snapshot can lag the per-dispatch log rows by up to
+        # ckpt_every_sec; drop rows the resumed run will re-execute
+        _truncate_log_rows(os.path.join(d, "log.txt"), it)
     f_log = open(os.path.join(d, "log.txt"), "a" if (resume and it) else "w")
     t0 = time.time()
     prev_best = np.inf
@@ -660,6 +699,9 @@ def do_optimization_fused_theta(
     if carry is None:
         carry = init_fn(jnp.asarray(np.asarray(theta0), dtype=fused.dtype))
         it = 0
+    if resume and it:
+        _truncate_log_rows(os.path.join(d, "log.txt"), it)
+        _truncate_log_rows(os.path.join(d, "covs.txt"), it)
     f_log = open(os.path.join(d, "log.txt"), "a" if (resume and it) else "w")
     # no covs.txt for task=x theta evaluators (FC is None there; the file
     # protocol writes covs.txt only on cov-bearing tasks)
@@ -674,6 +716,11 @@ def do_optimization_fused_theta(
     last_ckpt = -np.inf
 
     def checkpoint(it_base, theta_host):
+        # mirror do_optimization_fused's guard: never persist a non-finite
+        # step_*_X.npy (e.g. a NaN final-step proposal whose evaluated
+        # values were still finite this dispatch) for analyze_run to consume
+        if not np.all(np.isfinite(theta_host)):
+            raise FloatingPointError("optimizer diverged to non-finite theta")
         X, FC = fused.unpack_host(theta_host)
         save_step(d, it_base + steps_per_dispatch - 1, X=X, FC=FC)
         save_optimizer_state(d, carry, it_base + steps_per_dispatch)

@@ -381,3 +381,48 @@ def test_multistart_capacity_growth(tmp_path, rng):
     assert fused.m > m0
     assert np.isfinite(best_v) and best_v == final_v.min()
     assert os.path.exists(os.path.join(d, "finished"))
+
+
+def test_truncate_log_rows(tmp_path):
+    """On resume, log rows at/after the resumed iteration (and trailer
+    lines) are dropped so the re-executed dispatches append a monotone
+    trajectory (ADVICE r3: state snapshots ride a wall-clock cadence while
+    log rows are per-dispatch, so the snapshot can lag the log)."""
+    from gprf_tpu.optim.device_lbfgs import _truncate_log_rows
+
+    p = tmp_path / "log.txt"
+    p.write_text(
+        "0 0.10 -5.00\n1 0.20 -4.00\n2 0.30 -3.50\n3 0.40 -3.40\n"
+        "optimization finished after 1s\n"
+    )
+    _truncate_log_rows(str(p), 2)
+    assert p.read_text() == "0 0.10 -5.00\n1 0.20 -4.00\n"
+    # missing file is a no-op
+    _truncate_log_rows(str(tmp_path / "covs.txt"), 2)
+
+
+def test_aux_flag_masked_on_nonfinite_point(rng):
+    """A non-finite proposal must NOT raise the capacity-overflow flag
+    (NaN coords route all points into one block -> spurious permanent
+    capacity growth + cold recompile for a replica the driver is about to
+    sanitize).  The aux flag is finiteness-masked inside the runner."""
+    import jax.numpy as jnp
+    from gprf_tpu.optim.device_lbfgs import make_scan_lbfgs_runner
+
+    def loss(x):
+        # finite value but NaN gradient at x=0 (grad of sqrt(|x|) is
+        # inf * sign(0) = NaN), so the first accepted step proposes NaN x
+        return jnp.sum(jnp.sqrt(jnp.abs(x)))
+
+    def aux(x):
+        # an "overflow" check that, like the real block-count check,
+        # trips on NaN-routed garbage (NaN comparisons are false)
+        return ~(jnp.max(jnp.abs(x)) < 10.0)
+
+    init_fn, run_fn = make_scan_lbfgs_runner(loss, num_steps=3, aux_fn=aux)
+    carry = init_fn(jnp.zeros(4))
+    carry, outs = run_fn(carry)
+    x = np.asarray(carry["x"])
+    assert not np.isfinite(x).all()  # the proposal really went NaN
+    assert bool(np.asarray(aux(carry["x"])))  # unmasked check would trip
+    assert not bool(np.asarray(outs[3]))  # ...but the surfaced flag is down
