@@ -88,7 +88,10 @@ def vis_points(
         if IX is not None:
             IX = IX * xmax
             ax.scatter(IX[:, 0], IX[:, 1], alpha=1.0, c="black", s=25, marker="o", linewidths=0.0)
-        ax.scatter(X[:, 0], X[:, 1], alpha=1.0, c=c, cmap=cmap, s=70, marker=".", linewidths=0.0, **sargs)
+        if c is None:
+            ax.scatter(X[:, 0], X[:, 1], alpha=1.0, s=70, marker=".", linewidths=0.0, **sargs)
+        else:
+            ax.scatter(X[:, 0], X[:, 1], alpha=1.0, c=c, cmap=cmap, s=70, marker=".", linewidths=0.0, **sargs)
         ax.set_xlim((0, xmax))
         ax.set_ylim((0, xmax))
         out_name = os.path.join(d, (fname[:-4] if fname != "true.xxx" else "true") + ".png")

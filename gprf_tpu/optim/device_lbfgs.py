@@ -490,7 +490,7 @@ def make_lbfgs_runner(loss_fn, num_steps: int, memory_size: int = 10,
             return (x, state), (
                 value,
                 ls_info.num_linesearch_steps,
-                otu.tree_l2_norm(grad),
+                otu.tree_norm(grad),
             )
 
         (x, state), traj = jax.lax.scan(step, (x, state), None, length=num_steps)
