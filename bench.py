@@ -28,28 +28,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 BASELINE_SEC_PER_EVAL = 7.30  # reference CPU (BASELINE.md row 1)
 
-# v5e nominal peak: 394 GOPS/MXU-pass * 4 MXUs * 128x128 ... = 197 TFLOP/s
-# bf16; f32 via HIGHEST-precision multi-pass lands near 1/4 of that.  MFU is
-# reported against the f32 figure (the objective's compute dtype).
-PEAK_F32_FLOPS = 197e12 / 4
-
-
-def model_flops_per_eval(B, m, E, dy, dx, ncov_grad=False):
-    """Analytic FLOP count of one fused Schur objective+gradient evaluation.
-
-    Forward terms (per batch element of width m):
-      unary:  kernel build 2 m^2 dx (MXU quadratic expansion) + Cholesky
-              m^3/3 + dy-rhs triangular solve m^2 dy
-      pair:   Kij build 2 m^2 dx + wide triangular solve m^3 + Schur
-              product 2 m^3 + chol(S) m^3/3 + two dy-rhs updates 3 m^2 dy
-    The gradient pass is counted as 2x forward (standard reverse-mode cost;
-    the custom VJPs are in the same regime: two triangular solves + an
-    outer-product per factorization).  This is a *model* — it tracks
-    arithmetic-intensity regressions, not a hardware counter.
-    """
-    unary = B * (m**3 / 3.0 + m * m * dy + 2.0 * m * m * dx)
-    pair = E * ((10.0 / 3.0) * m**3 + 3.0 * m * m * dy + 2.0 * m * m * dx)
-    return 3.0 * (unary + pair)
+from gprf_tpu.utils.flops import PEAK_F32_FLOPS, model_flops_per_eval  # noqa: E402
 
 
 def build_problem(n=10000, nblocks=100, yd=50, lscale=0.06, obs_std=0.02, seed=0):

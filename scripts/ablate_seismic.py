@@ -125,7 +125,21 @@ def main():
             ms = scan_time(step, theta0)
         else:
             raise SystemExit(f"unknown variant {v}")
-        print(f"{v:10s} {ms:8.2f} ms/eval", flush=True)
+        if v == "reblock":
+            print(f"{v:10s} {ms:8.2f} ms/eval", flush=True)
+        else:
+            from gprf_tpu.utils.flops import model_flops_per_eval, roofline_str
+
+            flops = model_flops_per_eval(
+                B=fused.n_blocks, m=fused.m,
+                E=len(neighbors) if v != "unary" else 0,
+                dy=SY.shape[1], dx=3,
+                passes=1.0 if v == "lossonly" else 3.0,
+            )
+            print(
+                f"{v:10s} {ms:8.2f} ms/eval   {roofline_str(flops, ms / 1e3)}",
+                flush=True,
+            )
 
 
 if __name__ == "__main__":

@@ -69,6 +69,16 @@ def main():
     x0 = jnp.asarray(data.X_obs.flatten(), dtype=fused.dtype)
     loss = fused.loss_fn()
 
+    from gprf_tpu.utils.flops import model_flops_per_eval, roofline_str
+
+    def variant_flops(v):
+        E = len(edges) if v != "unary" else 0
+        passes = 1.0 if v == "lossonly" else 3.0
+        return model_flops_per_eval(
+            B=fused.n_blocks, m=fused.m, E=E, dy=data.SY.shape[1], dx=2,
+            passes=passes,
+        )
+
     for v in variants:
         jax.clear_caches()
         if v == "default":
@@ -94,7 +104,11 @@ def main():
             ms = scan_time(lambda x: x - 1e-9 * gu(x), x0)
         else:
             raise SystemExit(f"unknown variant {v}")
-        print(f"{v:10s} {ms:8.2f} ms/eval", flush=True)
+        print(
+            f"{v:10s} {ms:8.2f} ms/eval   "
+            f"{roofline_str(variant_flops(v), ms / 1e3)}",
+            flush=True,
+        )
 
 
 if __name__ == "__main__":
