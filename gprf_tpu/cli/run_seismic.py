@@ -125,6 +125,7 @@ def build_parser():
     parser.add_argument("--engine", dest="engine", default="host", choices=["host", "device"], help="host: scipy L-BFGS-B per-eval dispatch (reference semantics); device: fully on-device scan-L-BFGS loop")
     parser.add_argument("--multistart", dest="multistart", default=1, type=int, help="device engine: optimize this many on-chip replicas and keep the best final objective")
     parser.add_argument("--refine_iters", dest="refine_iters", default=0, type=int, help="device engine: continue this many float64 refinement iterations from the f32 solution")
+    parser.add_argument("--max_iters", dest="max_iters", default=600, type=int, help="device engine: max scan-L-BFGS iterations")
     return parser
 
 
@@ -237,7 +238,8 @@ def main(argv=None):
                             t[len(t) - ncov:] += ms_rng.standard_normal(ncov) * 0.3
                     theta0s.append(t)
                 theta_final, best_v, final_v = do_optimization_multistart_theta(
-                    d, fused, np.stack(theta0s), maxsec=args.maxsec
+                    d, fused, np.stack(theta0s), maxsec=args.maxsec,
+                    max_iters=args.max_iters,
                 )
                 print(
                     "multistart: best replica %d of %d (final objectives %s)"
@@ -245,7 +247,8 @@ def main(argv=None):
                 )
             else:
                 theta_final = do_optimization_fused_theta(
-                    d, fused, theta0, maxsec=args.maxsec
+                    d, fused, theta0, maxsec=args.maxsec,
+                    max_iters=args.max_iters,
                 )
             if args.refine_iters > 0:
                 from gprf_tpu.optim.device_lbfgs import refine_f64
