@@ -57,6 +57,8 @@ def do_run(
     engine="host",
     refine_iters=0,
     multistart=1,
+    ftol=1e-6,
+    stall_patience=4,
 ):
     if rpc_blocksize == -1:
         centers = grid_centers(nblocks)
@@ -185,7 +187,8 @@ def do_run(
                     ]
                 )
                 x_final, best_v, final_v = do_optimization_multistart(
-                    d, fused, X0s, maxsec=maxsec, max_iters=max_iters
+                    d, fused, X0s, maxsec=maxsec, max_iters=max_iters,
+                    ftol=ftol, stall_patience=stall_patience,
                 )
                 print(
                     "multistart: best replica %d of %d (final objectives %s)"
@@ -198,7 +201,10 @@ def do_run(
                     it0 = int(load_log(d)[0][-1]) + 1
                     refine_f64(d, make_fused, x_final, it0, iters=refine_iters)
             elif task == "x":
-                x_final = do_optimization_fused(d, fused, X0, maxsec=maxsec, max_iters=max_iters)
+                x_final = do_optimization_fused(
+                    d, fused, X0, maxsec=maxsec, max_iters=max_iters,
+                    ftol=ftol, stall_patience=stall_patience,
+                )
                 if refine_iters > 0:
                     from gprf_tpu.optim.device_lbfgs import refine_f64
                     from gprf_tpu.optim.driver import load_log
@@ -230,7 +236,8 @@ def do_run(
                         theta0s.append(t)
                     theta_final, best_v, final_v = do_optimization_multistart_theta(
                         d, fused, np.stack(theta0s), maxsec=maxsec,
-                        max_iters=max_iters,
+                        max_iters=max_iters, ftol=ftol,
+                        stall_patience=stall_patience,
                     )
                     print(
                         "multistart: best replica %d of %d (final objectives %s)"
@@ -238,7 +245,8 @@ def do_run(
                     )
                 else:
                     theta_final = do_optimization_fused_theta(
-                        d, fused, theta0, maxsec=maxsec, max_iters=max_iters
+                        d, fused, theta0, maxsec=maxsec, max_iters=max_iters,
+                        ftol=ftol, stall_patience=stall_patience,
                     )
                 if refine_iters > 0:
                     # f64 tail for the theta tasks too (the packed vector
@@ -362,6 +370,8 @@ def build_parser():
     parser.add_argument("--num_inducing", dest="num_inducing", default=0, type=int, help="number of inducing points for sparse baselines")
     parser.add_argument("--engine", dest="engine", default="host", choices=["host", "device"], help="host: scipy L-BFGS-B per-eval dispatch (reference semantics); device: fully on-device scan-L-BFGS loop (fast path; task=x grid runs)")
     parser.add_argument("--refine_iters", dest="refine_iters", default=0, type=int, help="device engine: follow the f32 loop with this many float64 refinement iterations (breaks the f32 convergence floor at large n)")
+    parser.add_argument("--ftol", dest="ftol", default=1e-6, type=float, help="device engine: relative per-dispatch improvement threshold for stall detection")
+    parser.add_argument("--stall_patience", dest="stall_patience", default=4, type=int, help="device engine: consecutive stalled dispatches before stopping")
     parser.add_argument("--multistart", dest="multistart", default=1, type=int, help="device engine (all tasks): optimize this many on-chip replicas (replica 0 = standard init, others prior/log-scale perturbations) and keep the best final objective; ignored by the host engine")
     return parser
 
@@ -398,6 +408,8 @@ def main(argv=None):
         engine=args.engine,
         refine_iters=args.refine_iters,
         multistart=args.multistart,
+        ftol=args.ftol,
+        stall_patience=args.stall_patience,
     )
 
 

@@ -126,6 +126,8 @@ def build_parser():
     parser.add_argument("--multistart", dest="multistart", default=1, type=int, help="device engine: optimize this many on-chip replicas and keep the best final objective")
     parser.add_argument("--refine_iters", dest="refine_iters", default=0, type=int, help="device engine: continue this many float64 refinement iterations from the f32 solution")
     parser.add_argument("--max_iters", dest="max_iters", default=600, type=int, help="device engine: max scan-L-BFGS iterations")
+    parser.add_argument("--ftol", dest="ftol", default=1e-6, type=float, help="device engine: relative per-dispatch improvement threshold for stall detection")
+    parser.add_argument("--stall_patience", dest="stall_patience", default=4, type=int, help="device engine: consecutive stalled dispatches before stopping")
     return parser
 
 
@@ -239,7 +241,8 @@ def main(argv=None):
                     theta0s.append(t)
                 theta_final, best_v, final_v = do_optimization_multistart_theta(
                     d, fused, np.stack(theta0s), maxsec=args.maxsec,
-                    max_iters=args.max_iters,
+                    max_iters=args.max_iters, ftol=args.ftol,
+                    stall_patience=args.stall_patience,
                 )
                 print(
                     "multistart: best replica %d of %d (final objectives %s)"
@@ -248,7 +251,8 @@ def main(argv=None):
             else:
                 theta_final = do_optimization_fused_theta(
                     d, fused, theta0, maxsec=args.maxsec,
-                    max_iters=args.max_iters,
+                    max_iters=args.max_iters, ftol=args.ftol,
+                    stall_patience=args.stall_patience,
                 )
             if args.refine_iters > 0:
                 from gprf_tpu.optim.device_lbfgs import refine_f64

@@ -455,6 +455,7 @@ def do_optimization_multistart_theta(
     return _run_multistart(
         d, fused, theta0s, fused.dtype, fused.unpack_host, True,
         maxsec, max_iters, steps_per_dispatch, ftol,
+        stall_patience=stall_patience,
     )
 
 

@@ -38,7 +38,7 @@ run_one gprf80k_100_ms4 --nblocks=100 --local_dist=0.1 --multistart=4
 # Long-budget single-start: our committed GPRF-100 run plateaus at a lower
 # objective (ll 3.342M) than the reference reaches (3.361M) — check whether
 # more scan-L-BFGS iterations close the optimization (not landscape) part.
-run_one gprf80k_100_long --nblocks=100 --local_dist=0.1 --max_iters=1600 --maxsec=2400
+run_one gprf80k_100_long --nblocks=100 --local_dist=0.1 --max_iters=1600 --maxsec=2400 --ftol=1e-8 --stall_patience=12
 # Remaining Local rows for a complete suite figure.
 run_one local80k_400 --nblocks=400 --local_dist=1.0
 run_one local80k_196 --nblocks=196 --local_dist=1.0

@@ -31,7 +31,7 @@ run_one () {
 }
 
 # R=8 with a longer iteration budget at the flagship threshold.
-run_one seismic_xcov_ms8_long --threshold=0.6 --multistart=8 --max_iters=2000 --maxsec=1800 --refine_iters=20
+run_one seismic_xcov_ms8_long --threshold=0.6 --multistart=8 --max_iters=2000 --maxsec=1800 --refine_iters=20 --ftol=1e-8 --stall_patience=12
 # Threshold sweep (denser / sparser edge sets) with multistart.
 run_one seismic_xcov_t05_ms4 --threshold=0.5 --multistart=4 --max_iters=1200 --maxsec=1200 --refine_iters=20
 run_one seismic_xcov_t07_ms4 --threshold=0.7 --multistart=4 --max_iters=1200 --maxsec=1200 --refine_iters=20
