@@ -1,0 +1,169 @@
+"""Scaling figure for the FITC suite (VERDICT round-3 item 5).
+
+Reproduces the reference's third results family (``gprfopt_analyze.py:
+280-347``: task=xcov scaling over n with GPRF/Local at block size ~200 vs
+inducing-point FITC baselines) from our runs in ``docs/runs/fitc_suite/``,
+against the reference's shipped rows read from
+``/root/reference/gprf_results.tgz``.
+
+Left: final mean latent error vs n.  Right: total optimization wall-clock
+vs n.  Identity = family color (fixed slots) + ours/reference =
+filled-solid vs open-dashed (never color-alone).
+
+Usage:
+  python scripts/fitc_figure.py [--out docs/figures/fitc_suite.png]
+"""
+
+import argparse
+import io
+import os
+import tarfile
+
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt
+
+FAMILY_COLORS = {
+    "GPRF": "#2a78d6",
+    "Local": "#eb6834",
+    "FITC-500": "#1baf7a",
+    "FITC-big": "#8557d6",
+}
+TEXT_PRIMARY, TEXT_SECONDARY = "#0b0b0b", "#52514e"
+SURFACE = "#fcfcfb"
+
+REF_TGZ = "/root/reference/gprf_results.tgz"
+
+NS = (2000, 20000, 40000, 80000)
+# n -> (lscale str, obs_std str, nblocks at bs200, big inducing count)
+GRID = {
+    2000: ("0.134164", "0.044721", 9, 1000),
+    20000: ("0.042426", "0.014142", 100, 2000),
+    40000: ("0.030000", "0.010000", 196, 2000),
+    80000: ("0.021213", "0.007071", 400, 1000),
+}
+
+
+def parse_results(lines):
+    last = None
+    for line in lines:
+        parts = line.split()
+        if not parts or parts[0] in ("trueX", "true"):
+            continue
+        last = parts
+    if last is None:
+        return None
+    return float(last[1]), float(last[4])
+
+
+def ours_rows():
+    out = {f: [] for f in FAMILY_COLORS}
+    for n in NS:
+        for fam, name in (
+            ("GPRF", f"gprf_{n}"),
+            ("Local", f"local_{n}"),
+            ("FITC-500", f"fitc500_{n}"),
+            ("FITC-big", f"fitcbig_{n}"),
+        ):
+            path = os.path.join("docs/runs/fitc_suite", name, "results.txt")
+            if os.path.exists(path):
+                with open(path) as f:
+                    r = parse_results(f)
+                if r:
+                    out[fam].append((n, *r))
+    return out
+
+
+def ref_rows():
+    out = {f: [] for f in FAMILY_COLORS}
+    if not os.path.exists(REF_TGZ):
+        return out
+    with tarfile.open(REF_TGZ) as t:
+        def grab(name):
+            try:
+                f = t.extractfile("./" + name)
+            except KeyError:
+                return None
+            return None if f is None else parse_results(io.TextIOWrapper(f))
+
+        for n in NS:
+            ls, os_, nb, big = GRID[n]
+            base = f"{n}_{n + 500}_%s_{ls}_{os_}_%s_50_l-bfgs-b_xcov_-1_0.0100_s0_%s/results.txt"
+            for fam, nb_s, ldist, tail in (
+                ("GPRF", str(nb), "0.1000", "gprf0"),
+                ("Local", str(nb), "1.0000", "gprf0"),
+                ("FITC-500", "1", "1.0000", "sparse500"),
+                ("FITC-big", "1", "1.0000", f"sparse{big}"),
+            ):
+                r = grab(base % (nb_s, ldist, tail))
+                if r:
+                    out[fam].append((n, *r))
+    return out
+
+
+def style(ax):
+    ax.set_facecolor(SURFACE)
+    ax.grid(True, which="both", color="#e7e6e2", linewidth=0.6, zorder=0)
+    ax.tick_params(colors=TEXT_SECONDARY)
+    for s in ax.spines.values():
+        s.set_color("#e7e6e2")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="docs/figures/fitc_suite.png")
+    args = ap.parse_args()
+
+    os.chdir(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    ours, ref = ours_rows(), ref_rows()
+
+    fig, (axa, axb) = plt.subplots(1, 2, figsize=(11.5, 4.8), dpi=160)
+    fig.patch.set_facecolor(SURFACE)
+
+    for fam, c in FAMILY_COLORS.items():
+        for pts, ours_flag in ((ref[fam], False), (ours[fam], True)):
+            if not pts:
+                continue
+            pts_s = sorted(pts)
+            kw = dict(
+                marker="o", markersize=6, color=c,
+                markerfacecolor=c if ours_flag else SURFACE,
+                markeredgecolor=c, markeredgewidth=1.4,
+                linestyle="-" if ours_flag else "--",
+                linewidth=2 if ours_flag else 1.4,
+                alpha=1.0 if ours_flag else 0.75,
+                label=f"{fam} ({'gprf_tpu' if ours_flag else 'reference CPU'})",
+            )
+            axa.plot([p[0] for p in pts_s], [p[2] for p in pts_s], **kw)
+            axb.plot([p[0] for p in pts_s], [p[1] for p in pts_s], **kw)
+
+    for ax in (axa, axb):
+        style(ax)
+        ax.set_xscale("log")
+        ax.set_xlabel("n (log)", color=TEXT_PRIMARY)
+    axa.set_yscale("log")
+    axa.set_ylabel("final mean latent error (log)", color=TEXT_PRIMARY)
+    axb.set_yscale("log")
+    axb.set_ylabel("total optimization wall-clock (s, log)", color=TEXT_PRIMARY)
+    axa.set_title("FITC suite (task=xcov): accuracy scaling", color=TEXT_PRIMARY, fontsize=10)
+    axb.set_title("FITC suite: compute scaling", color=TEXT_PRIMARY, fontsize=10)
+    axa.legend(fontsize=7, framealpha=0.9, edgecolor="#e7e6e2")
+
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    fig.tight_layout()
+    fig.savefig(args.out, facecolor=SURFACE)
+    print("wrote", args.out)
+
+    table = args.out.replace(".png", ".txt")
+    with open(table, "w") as f:
+        f.write("family n impl seconds mad\n")
+        for fam in FAMILY_COLORS:
+            for impl, pts in (("gprf_tpu", ours[fam]), ("reference", ref[fam])):
+                for n, secs, mad_v in sorted(pts):
+                    f.write(f"{fam} {n} {impl} {secs:.1f} {mad_v:.6f}\n")
+    print("wrote", table)
+
+
+if __name__ == "__main__":
+    main()
