@@ -108,6 +108,17 @@ def analyze_run(d, sdata, local_dist=1.0, predict=False, X0=None):
         ll1 = gprf.llgrad()[0]
     except Exception:
         pass
+    if not np.isfinite(ll1):
+        # very wide blocks (m ~ thousands) can fail on the accelerator
+        # (f64 panel memory); the oracle is a one-off offline eval, so
+        # retry it on the CPU backend in f64
+        try:
+            import jax
+
+            with jax.default_device(jax.devices("cpu")[0]):
+                ll1 = gprf.llgrad()[0]
+        except Exception:
+            pass
     s = "trueX inf %.2f %.4f %.4f %.4f %.4f %.4f %.4f %.4f %.4f %.4f" % (
         ll1, c1, l1, l2, smse_local, smse, mlb, mb, mld, md,
     )
