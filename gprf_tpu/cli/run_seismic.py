@@ -134,6 +134,7 @@ def build_parser():
 def main(argv=None):
     args = build_parser().parse_args(argv)
     d = seismic_exp_dir(args)
+    print("experiment dir:", d)
     seed = args.seed
     threshold = args.threshold
 
