@@ -269,6 +269,7 @@ def do_run(
                 maxsec=maxsec,
                 gplvm_type=gplvm_type,
                 num_inducing=num_inducing,
+                max_iters=max_iters,
             )
         else:
             do_optimization(
