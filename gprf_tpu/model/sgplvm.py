@@ -384,14 +384,38 @@ def do_sgplvm(d, X0, C0, sdata, method="l-bfgs-b", maxsec=3600, gplvm_type="spar
             raise OutOfTimeError
         return nll, grad
 
+    # Reference budget (max_iters=None) keeps the literal scipy options of
+    # gprfopt.py:307.  An explicit --max_iters asks for a *converged*
+    # baseline: tighten ftol and, because f32 device gradients can abort
+    # scipy's line search long before the budget (observed at the FITC-2000
+    # n=20k row: ~200 evals of a 2000-iteration budget), restart L-BFGS-B
+    # from the current point while budget remains — a restart clears the
+    # stale curvature memory that caused the failed line search.
+    ftol = 1e-6 if max_iters is None else 1e-10
+    budget = max_iters or 200
+    x_cur = pack(X0, logS0, Z0, log_lscale0)
     try:
-        scipy.optimize.minimize(
-            llgrad_wrapper,
-            pack(X0, logS0, Z0, log_lscale0),
-            jac=True,
-            method=method,
-            options={"ftol": 1e-6, "maxiter": max_iters or 200},
-        )
+        while budget > 0:
+            res = scipy.optimize.minimize(
+                llgrad_wrapper,
+                x_cur,
+                jac=True,
+                method=method,
+                options={"ftol": ftol, "maxiter": budget},
+            )
+            f_log.write(
+                "scipy: nit=%d success=%s %s\n"
+                % (res.nit, res.success, str(res.message))
+            )
+            f_log.flush()
+            budget -= max(int(res.nit), 1)
+            if (
+                max_iters is None
+                or res.success
+                or not np.all(np.isfinite(res.x))
+            ):
+                break
+            x_cur = res.x
     except OutOfTimeError:
         print("terminated optimization for time")
 
