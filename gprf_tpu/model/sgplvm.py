@@ -394,6 +394,7 @@ def do_sgplvm(d, X0, C0, sdata, method="l-bfgs-b", maxsec=3600, gplvm_type="spar
     ftol = 1e-6 if max_iters is None else 1e-10
     budget = max_iters or 200
     x_cur = pack(X0, logS0, Z0, log_lscale0)
+    zero_progress = 0
     try:
         while budget > 0:
             res = scipy.optimize.minimize(
@@ -414,6 +415,15 @@ def do_sgplvm(d, X0, C0, sdata, method="l-bfgs-b", maxsec=3600, gplvm_type="spar
                 or res.success
                 or not np.all(np.isfinite(res.x))
             ):
+                break
+            # A restart that immediately fails its first line search is
+            # at a point where the f32 gradient is no longer a usable
+            # descent direction; further restarts from the same x only
+            # burn evals.  Allow a couple (the fresh curvature memory
+            # sometimes recovers), then stop.
+            zero_progress = zero_progress + 1 if res.nit == 0 else 0
+            if zero_progress >= 3:
+                f_log.write("scipy: stopping after 3 zero-progress restarts\n")
                 break
             x_cur = res.x
     except OutOfTimeError:
