@@ -71,7 +71,12 @@ def suite_points(base, fitc_extra=None):
         if r:
             out["Local"].append(("full GP" if nb == 1 else str(nb), *r))
     for ni in (200, 500, 1000, 2000, 4000):
-        r = final_row(os.path.join(base, name(1, 1.0, f"sparse{ni}")))
+        # prefer the VarDTC (titsias) run when present: GPy 0.6
+        # SparseGPLVM — the reference's FITC baseline — defaults to
+        # VarDTC inference (see docs/RESULTS.md round-4 FITC section)
+        r = final_row(os.path.join(base, name(1, 1.0, f"titsias{ni}")))
+        if not r:
+            r = final_row(os.path.join(base, name(1, 1.0, f"sparse{ni}")))
         if r:
             out["FITC"].append((str(ni), *r))
     if fitc_extra:
@@ -89,10 +94,9 @@ def main():
     ap.add_argument("--out", default="docs/figures/truegp_suite.png")
     args = ap.parse_args()
 
-    ours = suite_points(
-        args.ours,
-        fitc_extra=[("2000", "/root/repo/docs/runs/fitc2000_10k")],
-    )
+    # (the FITC-2000 row comes from the suite dir itself now — the VarDTC
+    # run; the older FITC-proper run is docs/runs/fitc2000_10k)
+    ours = suite_points(args.ours)
     ref = suite_points(args.ref)
 
     fig, ax = plt.subplots(figsize=(8.2, 5.4), dpi=160)
