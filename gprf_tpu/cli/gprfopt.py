@@ -340,6 +340,11 @@ def exp_dir(args):
         import hashlib
 
         name += "_i%s" % hashlib.md5(init_x.encode()).hexdigest()[:8]
+    # runs on an alternate prior-sampler draw (GPRF_SAMPLER, data/sampled.py)
+    # are different data realizations: keep their artifacts separate
+    sampler = os.environ.get("GPRF_SAMPLER", "")
+    if sampler:
+        name += "_y%s" % sampler
     d = os.path.join(exp_base_dir(), name)
     mkdir_p(d)
     return d
@@ -358,7 +363,7 @@ def build_parser():
     parser.add_argument("--seed", dest="seed", default=0, type=int, help="seed for generating synthetic data")
     parser.add_argument("--yd", dest="yd", default=50, type=int, help="number of output dimensions to sample")
     parser.add_argument("--maxsec", dest="maxsec", default=3600, type=int, help="maximum seconds to run the optimization")
-    parser.add_argument("--max_iters", dest="max_iters", default=None, type=int, help="device engine: max scan-L-BFGS iterations (default 400 for task=x, 600 for cov/xcov)")
+    parser.add_argument("--max_iters", dest="max_iters", default=None, type=int, help="device engine: max scan-L-BFGS iterations (default 400 for task=x, 600 for cov/xcov). With --gplvm_type baselines it instead switches scipy from the reference protocol (ftol 1e-6, maxiter 200) to a converged protocol: this total eval budget at ftol 1e-10 with L-BFGS-B restarts on line-search aborts")
     parser.add_argument("--task", dest="task", default="x", type=str, help="'x', 'cov', or 'xcov'")
     parser.add_argument("--analyze", dest="analyze", default=False, action="store_true", help="only analyze existing saved results")
     parser.add_argument("--analyze_full", dest="analyze_full", default=False, action="store_true", help="fuller analysis incl. predictive accuracy")

@@ -245,7 +245,12 @@ def sample_data(n, ntrain, lscale, obs_std, yd, seed, centers, noise_var, rpc_bl
     (reference ``gprfopt.py:204-225``)."""
     sample_basedir = os.path.join(exp_base_dir(), "synthetic_datasets")
     mkdir_p(sample_basedir)
-    sample_fname = "%d_%d_%.6f_%.6f_%d_%d%s.pkl" % (
+    # GPRF_SAMPLER selects the large-n prior-sampling path (synthetic.py:
+    # sample_y): "" = default (Vecchia above 20k), "exact" = banded exact
+    # truncated-support draw, "hi" = high-fidelity Vecchia.  Different
+    # samplers are different data realizations, so they get distinct caches.
+    sampler = os.environ.get("GPRF_SAMPLER", "")
+    sample_fname = "%d_%d_%.6f_%.6f_%d_%d%s%s.pkl" % (
         n,
         ntrain,
         lscale,
@@ -253,6 +258,7 @@ def sample_data(n, ntrain, lscale, obs_std, yd, seed, centers, noise_var, rpc_bl
         yd,
         seed,
         "" if noise_var == 0.01 else "_%.4f" % noise_var,
+        "" if not sampler else "_y%s" % sampler,
     )
     sample_fname_full = os.path.join(sample_basedir, sample_fname)
     try:

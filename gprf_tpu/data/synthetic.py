@@ -135,6 +135,22 @@ def sample_y(X, cov: GPCov, noise_var, yd, sparse_lscales=4.0):
         L = jitchol(KK)
         Z = np.random.randn(n, yd)
         return L @ Z
+    import os
+
+    sampler = os.environ.get("GPRF_SAMPLER", "")
+    if sampler == "exact":
+        # EXACT truncated-support draw at any n: RCM + LAPACK banded
+        # Cholesky (distributionally identical to the reference's CHOLMOD
+        # draw, synthetic.py:115-137) — the round-5 sampler-fidelity
+        # control for the 80k GPRF family
+        from gprf_tpu.sparse import sample_y_banded
+
+        return sample_y_banded(
+            X, cov, noise_var, yd, max_scaled_dist=sparse_lscales, verbose=True
+        )
+    if sampler == "hi":
+        # high-fidelity Vecchia: ~4x conditioning points / kNN
+        return sample_y_blocked(X, cov, noise_var, yd, n_condition=8192, knn=96)
     if n <= 20000:
         from gprf_tpu.sparse import sample_y_sparse
 

@@ -355,6 +355,7 @@ def do_sgplvm(d, X0, C0, sdata, method="l-bfgs-b", maxsec=3600, gplvm_type="spar
         return X, logS, Z, log_l
 
     sstep = [0]
+    best = [np.inf, None]  # best finite (nll, xx) seen by any evaluation
     f_log = open(os.path.join(d, "log.txt"), "w")
     t0 = time.time()
 
@@ -388,6 +389,8 @@ def do_sgplvm(d, X0, C0, sdata, method="l-bfgs-b", maxsec=3600, gplvm_type="spar
 
         f_log.write("%d %.2f %.2f\n" % (sstep[0], time.time() - t0, -nll))
         f_log.flush()
+        if np.isfinite(nll) and nll < best[0]:
+            best[0], best[1] = nll, np.array(xx, dtype=np.float64)
         sstep[0] += 1
         if time.time() - t0 > maxsec:
             raise OutOfTimeError
@@ -438,6 +441,15 @@ def do_sgplvm(d, X0, C0, sdata, method="l-bfgs-b", maxsec=3600, gplvm_type="spar
     except OutOfTimeError:
         print("terminated optimization for time")
 
+    # the last checkpoint on disk can be a diverged line-search probe
+    # (llgrad_wrapper saves every evaluation point); re-save the best finite
+    # iterate as the final step so the analyzed final row is never a probe
+    if best[1] is not None:
+        Xb, _, Zb, _ = unpack(best[1])
+        save_step(d, sstep[0], X=Xb)
+        if n_ix:
+            np.save(os.path.join(d, "step_%05d_IX.npy" % sstep[0]), Zb)
+        f_log.write("%d %.2f %.2f\n" % (sstep[0], time.time() - t0, -best[0]))
     f_log.write("optimization finished after %.fs\n" % (time.time() - t0))
     f_log.close()
     with open(os.path.join(d, "finished"), "w") as f:

@@ -10,8 +10,14 @@ log-determinants.  See ``csrc/`` and :mod:`gprf_tpu.sparse.native`.
 
 from gprf_tpu.sparse.ops import (
     sparse_kernel_matrix,
+    sample_y_banded,
     sample_y_sparse,
     SparseFactor,
 )
 
-__all__ = ["sparse_kernel_matrix", "sample_y_sparse", "SparseFactor"]
+__all__ = [
+    "sparse_kernel_matrix",
+    "sample_y_banded",
+    "sample_y_sparse",
+    "SparseFactor",
+]

@@ -123,3 +123,35 @@ def test_sample_y_blocked_covariance(rng):
     emp = Y @ Y.T / yd
     K = kernel_matrix_np(cov, X, noise_var=0.1)
     assert np.max(np.abs(emp - K)) < 0.15
+
+
+def test_sample_y_banded_exact_transform(rng):
+    """The banded sampler's linear map z -> y satisfies M M^T = K exactly
+    (it IS a Cholesky factorization of the truncated kernel, so the draw is
+    exact, matching the reference's CHOLMOD draw distributionally)."""
+    from gprf_tpu.sparse.ops import sample_y_banded
+
+    X = rng.uniform(size=(120, 2))
+    cov = GPCov.create([1.0], [0.2, 0.2])
+
+    class _IdentityRng:
+        def standard_normal(self, shape):
+            return np.eye(shape[0])
+
+    M = sample_y_banded(X, cov, noise_var=0.05, yd=120, rng=_IdentityRng(),
+                        max_scaled_dist=4.0)
+    K = sparse_kernel_matrix(X, cov, max_scaled_dist=4.0, noise_var=0.05).toarray()
+    np.testing.assert_allclose(M @ M.T, K, rtol=1e-9, atol=1e-10)
+
+
+def test_sample_y_banded_covariance(rng):
+    from gprf_tpu.sparse.ops import sample_y_banded
+
+    X = rng.uniform(size=(40, 2))
+    cov = GPCov.create([1.0], [0.3, 0.3])
+    yd = 4000
+    Y = sample_y_banded(X, cov, noise_var=0.1, yd=yd, max_scaled_dist=8.0,
+                        rng=np.random.default_rng(0))
+    emp = Y @ Y.T / yd
+    K = sparse_kernel_matrix(X, cov, max_scaled_dist=8.0, noise_var=0.1).toarray()
+    assert np.max(np.abs(emp - K)) < 0.15
