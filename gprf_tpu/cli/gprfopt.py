@@ -340,11 +340,11 @@ def exp_dir(args):
         import hashlib
 
         name += "_i%s" % hashlib.md5(init_x.encode()).hexdigest()[:8]
-    # runs on an alternate prior-sampler draw (GPRF_SAMPLER, data/sampled.py)
+    # runs on different prior-sampler draws (GPRF_SAMPLER, data/sampled.py)
     # are different data realizations: keep their artifacts separate
-    sampler = os.environ.get("GPRF_SAMPLER", "")
-    if sampler:
-        name += "_y%s" % sampler
+    from gprf_tpu.data.synthetic import sampler_suffix
+
+    name += sampler_suffix(args.ntrain + args.ntest)
     d = os.path.join(exp_base_dir(), name)
     mkdir_p(d)
     return d

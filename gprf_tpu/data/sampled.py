@@ -246,10 +246,12 @@ def sample_data(n, ntrain, lscale, obs_std, yd, seed, centers, noise_var, rpc_bl
     sample_basedir = os.path.join(exp_base_dir(), "synthetic_datasets")
     mkdir_p(sample_basedir)
     # GPRF_SAMPLER selects the large-n prior-sampling path (synthetic.py:
-    # sample_y): "" = default (Vecchia above 20k), "exact" = banded exact
-    # truncated-support draw, "hi" = high-fidelity Vecchia.  Different
-    # samplers are different data realizations, so they get distinct caches.
-    sampler = os.environ.get("GPRF_SAMPLER", "")
+    # sample_y): default = banded exact truncated-support draw above 20k,
+    # "vecchia" = the legacy rounds-1-4 approximate sampler (keeps the
+    # historical unsuffixed cache names), "hi" = high-fidelity Vecchia.
+    # Different samplers are different data realizations -> distinct caches.
+    from gprf_tpu.data.synthetic import sampler_suffix
+
     sample_fname = "%d_%d_%.6f_%.6f_%d_%d%s%s.pkl" % (
         n,
         ntrain,
@@ -258,7 +260,7 @@ def sample_data(n, ntrain, lscale, obs_std, yd, seed, centers, noise_var, rpc_bl
         yd,
         seed,
         "" if noise_var == 0.01 else "_%.4f" % noise_var,
-        "" if not sampler else "_y%s" % sampler,
+        sampler_suffix(n),
     )
     sample_fname_full = os.path.join(sample_basedir, sample_fname)
     try:

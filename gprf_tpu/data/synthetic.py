@@ -138,26 +138,47 @@ def sample_y(X, cov: GPCov, noise_var, yd, sparse_lscales=4.0):
     import os
 
     sampler = os.environ.get("GPRF_SAMPLER", "")
-    if sampler == "exact":
-        # EXACT truncated-support draw at any n: RCM + LAPACK banded
-        # Cholesky (distributionally identical to the reference's CHOLMOD
-        # draw, synthetic.py:115-137) — the round-5 sampler-fidelity
-        # control for the 80k GPRF family
-        from gprf_tpu.sparse import sample_y_banded
-
-        return sample_y_banded(
-            X, cov, noise_var, yd, max_scaled_dist=sparse_lscales, verbose=True
-        )
     if sampler == "hi":
         # high-fidelity Vecchia: ~4x conditioning points / kNN
         return sample_y_blocked(X, cov, noise_var, yd, n_condition=8192, knn=96)
-    if n <= 20000:
-        from gprf_tpu.sparse import sample_y_sparse
+    if sampler == "vecchia" or (not sampler and n <= 20000):
+        if n <= 20000 and sampler != "vecchia":
+            from gprf_tpu.sparse import sample_y_sparse
 
-        return sample_y_sparse(X, cov, noise_var, yd, max_scaled_dist=sparse_lscales)
-    # very large n: the global sparse factor's fill-in is impractical
-    # single-threaded; use sequential block-conditional (Vecchia) sampling
-    return sample_y_blocked(X, cov, noise_var, yd)
+            return sample_y_sparse(
+                X, cov, noise_var, yd, max_scaled_dist=sparse_lscales
+            )
+        # legacy approximate sampler (rounds 1-4 drew the large-n datasets
+        # this way); kept for reproducing those runs
+        return sample_y_blocked(X, cov, noise_var, yd)
+    # DEFAULT at large n (round 5, was Vecchia): EXACT truncated-support
+    # draw via RCM + LAPACK banded Cholesky — distributionally identical to
+    # the reference's CHOLMOD draw (synthetic.py:115-137).  The round-5
+    # sampler-fidelity control measured the Vecchia approximation DEPRESSING
+    # the 80k GPRF family by ~11% latent error (0.000730 vs 0.000652 at
+    # GPRF-100, reference 0.000640) while leaving Local rows at parity —
+    # the GPRF objective is exactly the estimator that exploits the
+    # cross-block consistency the approximate draw weakens (docs/RESULTS.md).
+    from gprf_tpu.sparse import sample_y_banded
+
+    return sample_y_banded(
+        X, cov, noise_var, yd, max_scaled_dist=sparse_lscales, verbose=True
+    )
+
+
+def sampler_suffix(n) -> str:
+    """Cache-key / run-dir suffix identifying the effective large-n prior
+    sampler (different samplers = different data realizations).  The legacy
+    Vecchia draws keep the historical unsuffixed names; the round-5 exact
+    default and the explicit variants get tagged."""
+    import os
+
+    sampler = os.environ.get("GPRF_SAMPLER", "")
+    if sampler == "vecchia":
+        return ""
+    if not sampler:
+        sampler = "exact" if n > 20000 else ""
+    return "_y%s" % sampler if sampler else ""
 
 
 def sample_synthetic(seed=1, n=400, xd=2, yd=10, lscale=0.1, noise_var=0.01):

@@ -49,14 +49,20 @@ def main():
     from gprf_tpu.model.fused import FusedGridGPRF
     from gprf_tpu.partition.grid import Blocker, grid_centers
 
+    import os
+
     variants = sys.argv[1:] or ["default", "lossonly", "unary"]
-    centers = np.asarray(grid_centers(100))
+    # GPRF_ABLATE_BLOCKS / GPRF_ABLATE_DIAG parametrize the shape (e.g. the
+    # B=900 diagnosis); defaults reproduce the round-3/4 roofline rows
+    nblocks = int(os.environ.get("GPRF_ABLATE_BLOCKS", "100"))
+    diag = os.environ.get("GPRF_ABLATE_DIAG", "0") == "1"
+    centers = np.asarray(grid_centers(nblocks))
     data = sample_data(
         n=80500, ntrain=80000, lscale=0.021213, obs_std=0.007071, yd=50,
         seed=0, centers=centers, noise_var=0.01,
     )
     b = Blocker(centers)
-    edges = b.neighbors(diag_connections=False)
+    edges = b.neighbors(diag_connections=diag)
 
     def make_fused(edge_set):
         return FusedGridGPRF(

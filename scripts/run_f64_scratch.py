@@ -42,6 +42,10 @@ from gprf_tpu.utils.io import mkdir_p  # noqa: E402
 
 
 def main():
+    # this control isolates PRECISION: it must run on the same legacy
+    # Vecchia draw as the committed f32 runs (the round-5 exact sampler is
+    # a different realization), including across crash-resumes
+    os.environ["GPRF_SAMPLER"] = "vecchia"
     p = argparse.ArgumentParser()
     p.add_argument("--maxsec", type=float, default=32000.0)
     p.add_argument("--iters", type=int, default=400)
