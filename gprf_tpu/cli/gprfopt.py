@@ -345,6 +345,11 @@ def exp_dir(args):
     from gprf_tpu.data.synthetic import sampler_suffix
 
     name += sampler_suffix(args.ntrain + args.ntest)
+    # non-default Schur precision changes the computation, not the data:
+    # keep its artifacts separate too
+    prec = getattr(args, "schur_precision", "")
+    if prec and prec != "highest":
+        name += "_p%s" % prec
     d = os.path.join(exp_base_dir(), name)
     mkdir_p(d)
     return d
@@ -379,12 +384,28 @@ def build_parser():
     parser.add_argument("--ftol", dest="ftol", default=1e-6, type=float, help="device engine: relative per-dispatch improvement threshold for stall detection")
     parser.add_argument("--stall_patience", dest="stall_patience", default=4, type=int, help="device engine: consecutive stalled dispatches before stopping")
     parser.add_argument("--multistart", dest="multistart", default=1, type=int, help="device engine (all tasks): optimize this many on-chip replicas (replica 0 = standard init, others prior/log-scale perturbations) and keep the best final objective; ignored by the host engine")
+    parser.add_argument("--schur_precision", dest="schur_precision", default="", choices=["", "highest", "high"], help="forward Schur-algebra matmul precision. The default ('highest', 6 bf16 passes per f32 product) is QoR-safest; 'high' (3 passes) is the supported WIDE-M preset: ~2x faster full steps at m~888 with 80k QoR holding within seed noise (docs/RESULTS.md). Sets GPRF_SCHUR_PRECISION in a fresh process (precision toggles are read once at import)")
     return parser
 
 
 def main(argv=None):
     mkdir_p(exp_base_dir())
     args = build_parser().parse_args(argv)
+    if args.schur_precision and (
+        os.environ.get("GPRF_SCHUR_PRECISION", "highest") != args.schur_precision
+    ):
+        # precision toggles are read once at gprf_tpu import (the jit cache
+        # is not keyed on env vars, so a mid-process flip could mix stale
+        # compilations); re-exec with the env pinned so the whole process
+        # traces at the requested precision
+        import sys
+
+        os.environ["GPRF_SCHUR_PRECISION"] = args.schur_precision
+        os.execv(
+            sys.executable,
+            [sys.executable, "-m", "gprf_tpu.cli.gprfopt"]
+            + (list(argv) if argv is not None else sys.argv[1:]),
+        )
     d = exp_dir(args)
     print("experiment dir:", d)
     do_run(
