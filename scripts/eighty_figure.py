@@ -33,23 +33,34 @@ SURFACE = "#fcfcfb"
 
 REF_TGZ = "/root/reference/gprf_results.tgz"
 
-# our committed artifacts: family -> [(nblocks, docs/runs dir)]
+# our committed artifacts: family -> [(nblocks, [candidate dirs])].  The
+# first existing dir wins: round-5 exact-draw rows (the reference-matched
+# sampler, see RESULTS.md "sampler-fidelity control") preferred, legacy
+# Vecchia-draw rows as fallback.
 OURS = {
     "GPRF": [
-        (100, "gprf80k_device"),
-        (196, "gprf80k_196"),
-        (400, "gprf80k_400"),
-        (900, "gprf80k_900"),
+        (100, ["gprf80k_100_yexact", "gprf80k_device"]),
+        (196, ["gprf80k_196_yexact", "gprf80k_196"]),
+        (400, ["gprf80k_400_yexact", "gprf80k_400"]),
+        (900, ["gprf80k_900_cont_yexact", "gprf80k_900_yexact", "gprf80k_900"]),
     ],
     "Local": [
-        (16, "local80k_16"),
-        (36, "local80k_36"),
-        (100, "local80k_100_device"),
-        (196, "local80k_196"),
-        (400, "local80k_400"),
-        (900, "local80k_900_cont"),
+        (16, ["local80k_16_yexact", "local80k_16"]),
+        (36, ["local80k_36_yexact", "local80k_36"]),
+        (100, ["local80k_100_yexact", "local80k_100_device"]),
+        (196, ["local80k_196_yexact", "local80k_196"]),
+        (400, ["local80k_400_yexact", "local80k_400"]),
+        (900, ["local80k_900_cont_yexact", "local80k_900_cont"]),
     ],
 }
+# the legacy Vecchia-draw GPRF rows, overlaid faintly to show the round-5
+# sampler-fidelity finding (approximate draw depressed the GPRF family)
+OURS_VECCHIA = [
+    (100, "gprf80k_device"),
+    (196, "gprf80k_196"),
+    (400, "gprf80k_400"),
+    (900, "gprf80k_900"),
+]
 # best-of extras plotted as annotated points, not family lines
 OURS_EXTRA = [
     ("GPRF-100 ms4", "gprf80k_100_ms4"),
@@ -70,27 +81,36 @@ def parse_results(lines):
     return float(last[1]), float(last[4])
 
 
+def _read_row(name):
+    path = os.path.join("docs/runs", name, "results.txt")
+    if os.path.exists(path):
+        with open(path) as f:
+            return parse_results(f)
+    return None
+
+
 def ours_rows():
     out = {}
     for fam, rows in OURS.items():
         pts = []
-        for nb, name in rows:
-            path = os.path.join("docs/runs", name, "results.txt")
-            if os.path.exists(path):
-                with open(path) as f:
-                    r = parse_results(f)
+        for nb, names in rows:
+            for name in names:
+                r = _read_row(name)
                 if r:
                     pts.append((nb, *r))
+                    break
         out[fam] = pts
+    vecchia = []
+    for nb, name in OURS_VECCHIA:
+        r = _read_row(name)
+        if r:
+            vecchia.append((nb, *r))
     extras = []
     for label, name in OURS_EXTRA:
-        path = os.path.join("docs/runs", name, "results.txt")
-        if os.path.exists(path):
-            with open(path) as f:
-                r = parse_results(f)
-            if r:
-                extras.append((label, *r))
-    return out, extras
+        r = _read_row(name)
+        if r:
+            extras.append((label, *r))
+    return out, vecchia, extras
 
 
 def ref_rows():
@@ -133,7 +153,7 @@ def main():
     args = ap.parse_args()
 
     os.chdir(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    ours, extras = ours_rows()
+    ours, vecchia, extras = ours_rows()
     ref = ref_rows()
 
     fig, (axa, axb) = plt.subplots(1, 2, figsize=(11.5, 4.8), dpi=160)
@@ -161,6 +181,15 @@ def main():
                     str(nb), (secs, mad_v), textcoords="offset points",
                     xytext=(5, 5), fontsize=7, color=TEXT_SECONDARY,
                 )
+    if vecchia:
+        pts_s = sorted(vecchia)
+        axa.plot(
+            [p[0] for p in pts_s], [p[2] for p in pts_s],
+            marker="o", markersize=4, color=FAMILY_COLORS["GPRF"],
+            markerfacecolor=SURFACE, markeredgecolor=FAMILY_COLORS["GPRF"],
+            linestyle=":", linewidth=1.1, alpha=0.45,
+            label="GPRF (gprf_tpu, legacy Vecchia draw)",
+        )
     for label, secs, mad_v in extras:
         axb.scatter([secs], [mad_v], marker="*", s=110,
                     color=FAMILY_COLORS["GPRF"], zorder=5)
@@ -191,6 +220,8 @@ def main():
             for impl, pts in (("gprf_tpu", ours[fam]), ("reference", ref[fam])):
                 for nb, secs, mad_v in sorted(pts):
                     f.write(f"{fam} {nb} {impl} {secs:.1f} {mad_v:.6f}\n")
+        for nb, secs, mad_v in sorted(vecchia):
+            f.write(f"GPRF {nb} gprf_tpu_vecchia {secs:.1f} {mad_v:.6f}\n")
         for label, secs, mad_v in extras:
             f.write(f"GPRF {label!r} gprf_tpu {secs:.1f} {mad_v:.6f}\n")
     print("wrote", table)

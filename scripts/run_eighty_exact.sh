@@ -11,7 +11,7 @@ export GPRF_SAMPLER=exact
 export GPRF_EXPERIMENTS="${GPRF_EXPERIMENTS:-$HOME/gprf_experiments}"
 cd /root/repo
 BASE="--ntrain=80000 --ntest=500 --lscale=0.021213 --obs_std=0.007071 --yd=50 --task=x --engine=device --maxsec=900"
-GPRF100="$GPRF_EXPERIMENTS/80000_80500_100_0.021213_0.007071_0.1000_50_l-bfgs-b_x_-1_0.0100_s0_gprf0_yexact/step_00399_X.npy"
+G100DIR="$GPRF_EXPERIMENTS/80000_80500_100_0.021213_0.007071_0.1000_50_l-bfgs-b_x_-1_0.0100_s0_gprf0_yexact"
 
 run_one () {
   name=$1; shift
@@ -40,7 +40,18 @@ run_one local80k_36_yexact --nblocks=36 --local_dist=1.0
 run_one local80k_16_yexact --nblocks=16 --local_dist=1.0
 run_one local80k_900_yexact --nblocks=900 --local_dist=1.0
 # continuation rows (the basin-escape workflow the reference's --init_x
-# supports): warm-start the 900-block runs from the GPRF-100 solution
-run_one local80k_900_cont_yexact --nblocks=900 --local_dist=1.0 --init_x="$GPRF100"
-run_one gprf80k_900_cont_yexact --nblocks=900 --local_dist=0.1 --init_x="$GPRF100"
+# supports): warm-start the 900-block runs from the GPRF-100 solution.
+# On a fresh machine the experiment cache is gone — regenerate the
+# GPRF-100 checkpoint first, then resolve the latest step file.
+if ! ls "$G100DIR"/step_*_X.npy >/dev/null 2>&1; then
+  echo "=== regenerating GPRF-100 exact checkpoint ($(date +%H:%M:%S))"
+  timeout 4000 python -m gprf_tpu.cli.gprfopt $BASE --nblocks=100 --local_dist=0.1 2>&1 | tail -2
+fi
+GPRF100=$(ls "$G100DIR"/step_*_X.npy 2>/dev/null | sort | tail -1)
+if [ -n "$GPRF100" ]; then
+  run_one local80k_900_cont_yexact --nblocks=900 --local_dist=1.0 --init_x="$GPRF100"
+  run_one gprf80k_900_cont_yexact --nblocks=900 --local_dist=0.1 --init_x="$GPRF100"
+else
+  echo "=== no GPRF-100 checkpoint; skipping continuation rows"
+fi
 echo "=== exact eighty suite done ($(date +%H:%M:%S))"
