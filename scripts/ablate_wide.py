@@ -53,16 +53,24 @@ def main():
 
     variants = sys.argv[1:] or ["default", "lossonly", "unary"]
     # GPRF_ABLATE_BLOCKS / GPRF_ABLATE_DIAG parametrize the shape (e.g. the
-    # B=900 diagnosis); defaults reproduce the round-3/4 roofline rows
+    # B=900 diagnosis); defaults reproduce the round-3/4 roofline rows.
+    # GPRF_ABLATE_LOCAL_DIST switches edge discovery to the production
+    # kernel-correlation threshold (what the CLI's --local_dist uses), so
+    # the ablation shape matches the committed suite rows exactly.
     nblocks = int(os.environ.get("GPRF_ABLATE_BLOCKS", "100"))
     diag = os.environ.get("GPRF_ABLATE_DIAG", "0") == "1"
+    local_dist = os.environ.get("GPRF_ABLATE_LOCAL_DIST")
     centers = np.asarray(grid_centers(nblocks))
     data = sample_data(
         n=80500, ntrain=80000, lscale=0.021213, obs_std=0.007071, yd=50,
         seed=0, centers=centers, noise_var=0.01,
     )
-    b = Blocker(centers)
-    edges = b.neighbors(diag_connections=diag)
+    if local_dist is not None:
+        gprf = data.build_gprf(local_dist=float(local_dist))
+        edges = gprf.neighbors
+    else:
+        b = Blocker(centers)
+        edges = b.neighbors(diag_connections=diag)
 
     def make_fused(edge_set):
         return FusedGridGPRF(
