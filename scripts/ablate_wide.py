@@ -71,6 +71,11 @@ def main():
     else:
         b = Blocker(centers)
         edges = b.neighbors(diag_connections=diag)
+    # GPRF_ABLATE_MAX_E truncates the edge set (perf-shape sweep only —
+    # the objective changes, the per-step cost vs E curve is the point)
+    max_e = os.environ.get("GPRF_ABLATE_MAX_E")
+    if max_e:
+        edges = edges[: int(max_e)]
 
     def make_fused(edge_set):
         return FusedGridGPRF(
