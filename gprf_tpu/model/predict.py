@@ -10,8 +10,10 @@ correction against the shared prior:
     final_prec     = inv(prior_cov) + sum_i message_prec_i
     final_mean     = inv(final_prec) sum_i inv(post_cov_i) post_mean_i
 
-Per-block training caches (K^-1, alpha) are computed in one batched masked
-Cholesky pass on device.  The query-time combination is also one batched
+Per-block training caches (chol(K), alpha) are computed in one batched masked
+Cholesky pass on device; query-time K*·K⁻¹·K*ᵀ products are Cholesky solves
+against the q-sized query RHS, never an explicit m×m inverse (which does not
+even compile on-chip at the single-block full-GP width m=10048).  The query-time combination is also one batched
 device program (``combine="device"``, the default): the source blocks are
 gathered into a padded [S, m] batch and every per-expert posterior,
 precision (Cholesky-solve, no explicit ``np.linalg.inv``), and the
@@ -36,11 +38,20 @@ from gprf_tpu.linalg.masked import pad_kernel_matrix
 
 @jax.jit
 def _block_caches(X, Y, assignment, mask, cov: GPCov, noise_var):
-    """Batched per-block (K^-1, alpha) with padding masked to zero.
+    """Batched per-block (L, alpha): the Cholesky factor of the
+    (identity-padded) block kernel and the masked solve against Y.
 
     Replaces the reference per-block ``np.linalg.inv`` loop
-    (``gprf.py:606-617``).  Module-level jit: the per-step analysis loop
-    builds a fresh predictor per row and must hit the compile cache.
+    (``gprf.py:606-617``).  The factor is cached INSTEAD of the explicit
+    inverse the reference stored: query-time products K*·K⁻¹·K*ᵀ become
+    ``cho_solve`` against the q-sized query RHS, which (a) is the
+    standard backward-stable formulation and (b) keeps the largest
+    buffer O(m·q) instead of O(m²) RHS — the explicit m×m inverse does
+    not even compile on-chip at the full-GP single-block width
+    (m=10048: RESOURCE_EXHAUSTED, measured round 5; the bare Cholesky
+    compiles and runs fine).  Module-level jit: the per-step analysis
+    loop builds a fresh predictor per row and must hit the compile
+    cache.
     """
 
     def one(idx, msk):
@@ -50,12 +61,9 @@ def _block_caches(X, Y, assignment, mask, cov: GPCov, noise_var):
         K = K + noise_var * jnp.eye(K.shape[-1], dtype=K.dtype)
         Kp = pad_kernel_matrix(K, msk)
         L = jsp_linalg.cholesky(Kp, lower=True)
-        eye = jnp.eye(K.shape[-1], dtype=K.dtype)
-        Kinv = jsp_linalg.cho_solve((L, True), eye)
         maskf = msk.astype(K.dtype)
-        Kinv = Kinv * (maskf[:, None] * maskf[None, :])
         alpha = jsp_linalg.cho_solve((L, True), Yb) * maskf[:, None]
-        return Kinv, alpha
+        return L, alpha
 
     return jax.vmap(one)(assignment, mask)
 
@@ -70,17 +78,19 @@ def symmetrize_neighbors(neighbors):
 
 @jax.jit
 def _combine_device(
-    Xstar, Xs, Kinvs_s, Alphas_s, masks_s, model_cov: GPCov,
+    Xstar, Xs, Ls_s, Alphas_s, masks_s, model_cov: GPCov,
     test_cov: GPCov, expert_nv, prior_nv
 ):
     """One-dispatch BCM combination over a padded source-block batch.
 
-    Xstar [q, dx]; Xs [S, m, dx]; Kinvs_s [S, m, m]; Alphas_s [S, m, dy];
-    masks_s [S, m] — returns (final_mean [q, dy], final_cov [q, q]).
-    Expert posterior precisions come from a batched Cholesky solve; padded
-    slots carry zero kernel columns (masked) and zero Kinv/alpha rows, so
-    they drop out exactly.  The prior uses ``test_cov``, the experts the
-    model covariance (reference ``gprf.py:621, 649-656``).
+    Xstar [q, dx]; Xs [S, m, dx]; Ls_s [S, m, m] (block-kernel Cholesky
+    factors); Alphas_s [S, m, dy]; masks_s [S, m] — returns
+    (final_mean [q, dy], final_cov [q, q]).  Expert posterior precisions
+    come from a batched Cholesky solve; a dummy expert slot is any slot
+    whose mask is all-zero and whose L is a VALID factor (a gathered real
+    block's L, or identity) — its Kstar is zeroed so its message
+    prec − pp cancels exactly.  The prior uses ``test_cov``, the experts
+    the model covariance (reference ``gprf.py:621, 649-656``).
     """
     q = Xstar.shape[0]
     dtype = Xstar.dtype
@@ -92,16 +102,18 @@ def _combine_device(
 
     maskf = masks_s.astype(dtype)
 
-    def expert(Xi, Kinv, alpha, msk):
+    def expert(Xi, Lb, alpha, msk):
         Kstar = cross_kernel_matrix(model_cov, Xstar, Xi) * msk[None, :]
         mean = Kstar @ alpha  # [q, dy]
-        cov_post = Kss - Kstar @ (Kinv @ Kstar.T)
+        # K*·K⁻¹·K*ᵀ via cho_solve against the q RHS columns: identity-
+        # padded L rows solve masked (zero) Kstar columns to exact zeros
+        cov_post = Kss - Kstar @ jsp_linalg.cho_solve((Lb, True), Kstar.T)
         L = jsp_linalg.cholesky(cov_post, lower=True)
         prec = jsp_linalg.cho_solve((L, True), eye)
         return prec, prec @ mean
 
     with jax.default_matmul_precision("highest"):
-        precs, wmeans = jax.vmap(expert)(Xs, Kinvs_s, Alphas_s, maskf)
+        precs, wmeans = jax.vmap(expert)(Xs, Ls_s, Alphas_s, maskf)
         S = Xs.shape[0]
         Lss = jsp_linalg.cholesky(Kss, lower=True)
         pp = jsp_linalg.cho_solve((Lss, True), eye)
@@ -156,7 +168,7 @@ def train_block_predictor(gprf, test_cov: GPCov | None = None, Y=None,
 
     arrays = gprf.layout.device_arrays()
     X_snap = np.array(gprf.X, copy=True)
-    Kinvs, Alphas = _block_caches(
+    Ls, Alphas = _block_caches(
         jnp.asarray(X_snap, dtype=dtype),
         jnp.asarray(Y, dtype=dtype),
         arrays["assignment"],
@@ -164,14 +176,15 @@ def train_block_predictor(gprf, test_cov: GPCov | None = None, Y=None,
         jax.tree.map(lambda a: jnp.asarray(a, dtype=dtype), gprf.cov),
         jnp.asarray(gprf.noise_var, dtype=dtype),
     )
-    Kinvs = np.asarray(Kinvs)
-    Alphas = np.asarray(Alphas)
+    # the [B, m, m] caches STAY on device: at wide m they are hundreds of
+    # MB (m=10048: 404 MB per factor) and fetching them through the ~MB/s
+    # tunnel — as the pre-round-5 host-padding loop did — costs minutes
+    # per analysis row; the source-block gather below runs on device
+    mask_dev = arrays["mask"]
+    Xpad_dev = jnp.asarray(X_snap, dtype=dtype)[arrays["assignment"]]
     assignment = np.asarray(arrays["assignment"])
-    maskh = np.asarray(arrays["mask"])
-    Xpad = X_snap[assignment]  # [B, m, dx]
     m = assignment.shape[1]
-    dy = Alphas.shape[2]
-    dx = Xpad.shape[2]
+    dx = X_snap.shape[1]
     neighbor_dict = symmetrize_neighbors(gprf.neighbors)
 
     combine_b = _combine_device_batched
@@ -187,10 +200,8 @@ def train_block_predictor(gprf, test_cov: GPCov | None = None, Y=None,
         Smax = max(2, max(len(s) for s in srcs))
 
         Xq = np.zeros((T, qmax, dx))
-        Xs_b = np.zeros((T, Smax, m, dx))
-        Kinv_b = np.zeros((T, Smax, m, m))
-        Alpha_b = np.zeros((T, Smax, m, dy))
-        mask_b = np.zeros((T, Smax, m), dtype=bool)
+        src_idx = np.zeros((T, Smax), dtype=np.int32)
+        src_valid = np.zeros((T, Smax), dtype=bool)
         for a, t in enumerate(active):
             idxs = np.asarray(test_blocks[t])
             q = len(idxs)
@@ -199,10 +210,17 @@ def train_block_predictor(gprf, test_cov: GPCov | None = None, Y=None,
                 Xq[a, q:] = Xq[a, 0]
                 Xq[a, q:, 0] += 1e5 * (1.0 + np.arange(qmax - q))
             S = len(srcs[a])
-            Xs_b[a, :S] = Xpad[srcs[a]]
-            Kinv_b[a, :S] = Kinvs[srcs[a]]
-            Alpha_b[a, :S] = Alphas[srcs[a]]
-            mask_b[a, :S] = maskh[srcs[a]]
+            src_idx[a, :S] = srcs[a]
+            src_valid[a, :S] = True
+
+        # device-side gather: padded slots replay block src_idx=0 (a real,
+        # valid Cholesky factor) with an all-zero mask — their expert
+        # message cancels exactly in _combine_device
+        idx_d = jnp.asarray(src_idx)
+        Xs_b = Xpad_dev[idx_d]
+        Ls_b = Ls[idx_d]
+        Alpha_b = Alphas[idx_d]
+        mask_b = mask_dev[idx_d] & jnp.asarray(src_valid)[:, :, None]
 
         expert_nv = gprf.noise_var if test_noise_var > 0 else 0.0
         cov_d = jax.tree.map(lambda a: jnp.asarray(a, dtype=dtype), gprf.cov)
@@ -210,10 +228,10 @@ def train_block_predictor(gprf, test_cov: GPCov | None = None, Y=None,
         means, covs = jax.device_get(
             combine_b(
                 jnp.asarray(Xq, dtype=dtype),
-                jnp.asarray(Xs_b, dtype=dtype),
-                jnp.asarray(Kinv_b, dtype=dtype),
-                jnp.asarray(Alpha_b, dtype=dtype),
-                jnp.asarray(mask_b),
+                Xs_b,
+                Ls_b,
+                Alpha_b,
+                mask_b,
                 cov_d,
                 tcov_d,
                 jnp.asarray(expert_nv, dtype=dtype),
@@ -249,11 +267,11 @@ def train_predictor(gprf, test_cov: GPCov | None = None, Y=None,
 
     arrays = gprf.layout.device_arrays()
     # snapshot contract: the predictor is trained on gprf.X AS OF NOW — the
-    # cached (K^-1, alpha) are functions of this X, so both combine modes
+    # cached (L, alpha) are functions of this X, so both combine modes
     # evaluate query kernels against the same snapshot (a later update_X
     # does not silently mix stale factors with fresh kernels)
     X_snap = np.array(gprf.X, copy=True)
-    Kinvs, Alphas = _block_caches(
+    Ls, Alphas = _block_caches(
         jnp.asarray(X_snap),
         jnp.asarray(Y),
         arrays["assignment"],
@@ -285,7 +303,7 @@ def train_predictor(gprf, test_cov: GPCov | None = None, Y=None,
         # hoist the device->host copies of the caches out of the per-call
         # closure ([B, m, m] each; copying per predict() would cost tens of
         # MB over the tunnel per query batch)
-        Kinvs_h = np.asarray(Kinvs)
+        Ls_h = np.asarray(Ls)
         Alphas_h = np.asarray(Alphas)
 
         def predict(Xstar, test_noise_var: float = 0.0, local: bool = False):
@@ -301,11 +319,12 @@ def train_predictor(gprf, test_cov: GPCov | None = None, Y=None,
             # exactly 0 (block-diagonal final precision; real block
             # unaffected), then crop.
             Sp = max(-(-S0 // 4) * 4, 4)
-            Kinv_b = np.zeros((Sp, m, m), dtype=Kinvs_h.dtype)
-            Alpha_b = np.zeros((Sp, m, Alphas_h.shape[2]), dtype=Kinv_b.dtype)
+            L_b = np.zeros((Sp, m, m), dtype=Ls_h.dtype)
+            Alpha_b = np.zeros((Sp, m, Alphas_h.shape[2]), dtype=L_b.dtype)
             mask_b = np.zeros((Sp, m), dtype=bool)
             X_b = np.zeros((Sp, m, Xpad.shape[2]), dtype=Xpad.dtype)
-            Kinv_b[:S0] = Kinvs_h[src]
+            L_b[:S0] = Ls_h[src]
+            L_b[S0:] = np.eye(m, dtype=L_b.dtype)  # valid factor, zero mask
             Alpha_b[:S0] = Alphas_h[src]
             mask_b[:S0] = maskh[src]
             X_b[:S0] = Xpad[src]
@@ -323,7 +342,7 @@ def train_predictor(gprf, test_cov: GPCov | None = None, Y=None,
             mean, cov = _combine_device(
                 jnp.asarray(Xq),
                 jnp.asarray(X_b),
-                jnp.asarray(Kinv_b),
+                jnp.asarray(L_b),
                 jnp.asarray(Alpha_b),
                 jnp.asarray(mask_b),
                 gprf.cov,
@@ -348,7 +367,7 @@ def train_predictor(gprf, test_cov: GPCov | None = None, Y=None,
         return predict
 
     # ---- host-loop oracle (the reference's shape, gprf.py:619-670) --------
-    Kinvs = np.asarray(Kinvs)
+    Ls_h = np.asarray(Ls)
     Alphas = np.asarray(Alphas)
 
     # query-time kernel evaluations are tiny and looped on host; evaluating
@@ -369,7 +388,11 @@ def train_predictor(gprf, test_cov: GPCov | None = None, Y=None,
         for i in _source_blocks(Xstar):
             nb = int(sizes[i])
             Xi = X_snap[block_idxs[i]]
-            Kinv = Kinvs[i, :nb, :nb]
+            # identity padding is block-diagonal, so the leading nb x nb of
+            # the padded factor is exactly chol(K_block); rebuild the
+            # explicit inverse the reference cached (gprf.py:606-617)
+            Lb = Ls_h[i, :nb, :nb]
+            Kinv = np.linalg.inv(Lb.T) @ np.linalg.inv(Lb)
             alpha = Alphas[i, :nb]
             Kstar = k_np(gprf.cov, Xstar, Xi)
             Kss = k_np(gprf.cov, Xstar, Xstar)
