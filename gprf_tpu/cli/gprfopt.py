@@ -384,7 +384,7 @@ def build_parser():
     parser.add_argument("--ftol", dest="ftol", default=1e-6, type=float, help="device engine: relative per-dispatch improvement threshold for stall detection")
     parser.add_argument("--stall_patience", dest="stall_patience", default=4, type=int, help="device engine: consecutive stalled dispatches before stopping")
     parser.add_argument("--multistart", dest="multistart", default=1, type=int, help="device engine (all tasks): optimize this many on-chip replicas (replica 0 = standard init, others prior/log-scale perturbations) and keep the best final objective; ignored by the host engine")
-    parser.add_argument("--schur_precision", dest="schur_precision", default="", choices=["", "highest", "high"], help="forward Schur-algebra matmul precision. The default ('highest', 6 bf16 passes per f32 product) is QoR-safest; 'high' (3 passes) is the supported WIDE-M preset: ~2x faster full steps at m~888 with 80k QoR holding within seed noise (docs/RESULTS.md). Sets GPRF_SCHUR_PRECISION in a fresh process (precision toggles are read once at import)")
+    parser.add_argument("--schur_precision", dest="schur_precision", default="", choices=["", "highest", "high"], help="forward Schur-algebra matmul precision. The default ('highest', 6 bf16 passes per f32 product) is the recommendation at every shape; 'high' (3 passes) buys 1.28x on wide-m full steps (181 vs 231 ms at m=888) but FAILED the round-5 80k QoR gate on the exact draw (mad 0.000724 vs 0.000652, outside seed sigma — docs/RESULTS.md), so it is opt-in only for throughput-bound sweeps tolerating ~10%% latent-error slack. Sets GPRF_SCHUR_PRECISION in a fresh process (precision toggles are read once at import)")
     return parser
 
 
